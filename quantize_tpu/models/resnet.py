@@ -1,0 +1,188 @@
+"""Quantization-aware ResNet family (NHWC, TPU layouts).
+
+Covers the reference's CNN zoo entries backed by torchvision
+(``modelzoo/cnns/resnet.py:8-21``): resnet18/34/50/101/152, resnext50_32x4d,
+resnext101_32x8d/64x4d, wide_resnet50_2/101_2 — built quantization-aware from
+config instead of post-hoc surgery. Layer paths mirror the reference's
+slash-joined module paths (``/layer1/0/conv1``) so regex-scoped config
+overrides behave identically (``modelzoo/reconstruct.py:44-91``).
+
+When ``ctx.bn_folding_enabled`` the BatchNorms after each conv are *absent*
+from the module tree — their parameters are folded into the conv weights (or
+the weight-quantizer static_scale) at import time, matching
+``quantconv2d.py:115-133``. Otherwise inference-mode BatchNorm layers are kept.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..nn.intercept import QuantCtx
+from ..nn.layers import QuantConv, QuantDense
+
+
+class _BN(nn.Module):
+    """Inference-style BatchNorm (running stats), used when BN is not folded."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+
+
+def _conv_kind(ctx: QuantCtx) -> str:
+    return "nn_conv2d_bn2d" if ctx.bn_folding_enabled else "nn_conv2d"
+
+
+class _ConvBN(nn.Module):
+    """Conv (+ BN when not folded) helper shared by all blocks."""
+
+    ctx: QuantCtx
+    path: str
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    groups: int = 1
+    name_conv: str = "conv"
+    name_bn: str = "bn"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
+        ctx = self.ctx
+        pad = [(k // 2, k // 2) for k in self.kernel_size]
+        x = QuantConv(
+            features=self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=tuple(self.strides),
+            padding=pad,
+            feature_group_count=self.groups,
+            use_bias=False,
+            quant=ctx.resolve(self.path, _conv_kind(ctx)),
+            name=self.name_conv,
+        )(x, mode=mode)
+        if not ctx.bn_folding_enabled:
+            x = _BN(name=self.name_bn)(x, train=train)
+        return x
+
+
+class BasicBlock(nn.Module):
+    ctx: QuantCtx
+    path: str
+    features: int
+    strides: Sequence[int] = (1, 1)
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = _ConvBN(self.ctx, f"{self.path}/conv1", self.features, (3, 3), self.strides,
+                      name_conv="conv1", name_bn="bn1")(x, mode, train)
+        out = nn.relu(out)
+        out = _ConvBN(self.ctx, f"{self.path}/conv2", self.features, (3, 3),
+                      name_conv="conv2", name_bn="bn2")(out, mode, train)
+        if self.downsample:
+            identity = _ConvBN(self.ctx, f"{self.path}/downsample/0", self.features, (1, 1),
+                               self.strides, name_conv="downsample_conv",
+                               name_bn="downsample_bn")(x, mode, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    ctx: QuantCtx
+    path: str
+    features: int  # bottleneck width (conv1/conv2 channels)
+    out_features: int  # expansion * planes
+    strides: Sequence[int] = (1, 1)
+    groups: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
+        identity = x
+        out = _ConvBN(self.ctx, f"{self.path}/conv1", self.features, (1, 1),
+                      name_conv="conv1", name_bn="bn1")(x, mode, train)
+        out = nn.relu(out)
+        out = _ConvBN(self.ctx, f"{self.path}/conv2", self.features, (3, 3), self.strides,
+                      groups=self.groups, name_conv="conv2", name_bn="bn2")(out, mode, train)
+        out = nn.relu(out)
+        out = _ConvBN(self.ctx, f"{self.path}/conv3", self.out_features, (1, 1),
+                      name_conv="conv3", name_bn="bn3")(out, mode, train)
+        if self.downsample:
+            identity = _ConvBN(self.ctx, f"{self.path}/downsample/0", self.out_features, (1, 1),
+                               self.strides, name_conv="downsample_conv",
+                               name_bn="downsample_bn")(x, mode, train)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Torchvision-compatible ResNet/ResNeXt/WideResNet trunk."""
+
+    stage_sizes: Sequence[int]
+    bottleneck: bool
+    num_classes: int = 1000
+    groups: int = 1
+    width_per_group: int = 64
+    stem_width: int = 64
+    ctx: QuantCtx = QuantCtx.fp32()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
+        ctx = self.ctx
+        x = _ConvBN(ctx, "/conv1", self.stem_width, (7, 7), (2, 2),
+                    name_conv="conv1", name_bn="bn1")(x, mode, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        expansion = 4 if self.bottleneck else 1
+        in_ch = self.stem_width
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            planes = 64 * (2**stage)
+            width = int(planes * (self.width_per_group / 64.0)) * self.groups
+            out_ch = planes * expansion
+            for b in range(n_blocks):
+                strides = (2, 2) if (stage > 0 and b == 0) else (1, 1)
+                path = f"/layer{stage + 1}/{b}"
+                needs_ds = b == 0 and (strides != (1, 1) or in_ch != out_ch)
+                if self.bottleneck:
+                    x = Bottleneck(
+                        ctx, path, width, out_ch, strides, self.groups, needs_ds,
+                        name=f"layer{stage + 1}_{b}",
+                    )(x, mode, train)
+                else:
+                    x = BasicBlock(
+                        ctx, path, planes, strides, needs_ds,
+                        name=f"layer{stage + 1}_{b}",
+                    )(x, mode, train)
+                in_ch = out_ch
+
+        x = jnp.mean(x, axis=(1, 2))
+        x = QuantDense(
+            features=self.num_classes,
+            quant=ctx.resolve("/fc", "nn_linear"),
+            name="fc",
+        )(x, mode=mode)
+        return x
+
+
+def _make(stage_sizes, bottleneck, **kw) -> Callable[..., ResNet]:
+    def ctor(num_classes: int = 1000, ctx: Optional[QuantCtx] = None, **extra: Any) -> ResNet:
+        return ResNet(
+            stage_sizes=stage_sizes, bottleneck=bottleneck, num_classes=num_classes,
+            ctx=ctx or QuantCtx.fp32(), **{**kw, **extra},
+        )
+
+    return ctor
+
+
+resnet18 = _make([2, 2, 2, 2], False)
+resnet34 = _make([3, 4, 6, 3], False)
+resnet50 = _make([3, 4, 6, 3], True)
+resnet101 = _make([3, 4, 23, 3], True)
+resnet152 = _make([3, 8, 36, 3], True)
+resnext50_32x4d = _make([3, 4, 6, 3], True, groups=32, width_per_group=4)
+resnext101_32x8d = _make([3, 4, 23, 3], True, groups=32, width_per_group=8)
+resnext101_64x4d = _make([3, 4, 23, 3], True, groups=64, width_per_group=4)
+wide_resnet50_2 = _make([3, 4, 6, 3], True, width_per_group=128)
+wide_resnet101_2 = _make([3, 4, 23, 3], True, width_per_group=128)

@@ -1,0 +1,264 @@
+"""Quantization-aware layers (TPU-native layouts: NHWC / HWIO).
+
+These are the functional equivalents of the reference's module twins
+(``modelzoo/modules/quantconv2d.py:20``, ``quantlinear.py:17``,
+``quantrelu.py:13``, ``quant_pooling.py:16,100``) — but instead of surgery on
+a pretrained module tree, models are *built* quantized from config, and FP32
+behavior is just the ``'fp32'`` mode (or ``n_bits>=32``).
+
+Per-channel axes in TPU layout: activations are NHWC (channel = -1, the
+reference's NCHW dim 1) and weights are HWIO/(in, out) (out-channel = -1, the
+reference's OIHW dim 0). Observers take the axis explicitly, so the
+reference's transpose gymnastics disappear.
+
+Every layer sows its output into the ``'taps'`` collection (no-op unless the
+caller marks ``'taps'`` mutable) — this replaces the reference AdaRound
+runner's forward hooks (``runner/adaround.py:74-94``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Mapping, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..quant.observers import BiasCorrect
+from ..quant.qspec import QuantSpec, _freeze
+from .quantizer import Quantizer
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerQuantCfg:
+    """Resolved per-layer quantization parameters (one reconstruct() row).
+
+    ``weight``/``activation`` are the reference's ``w_setting``/``a_setting``
+    dicts; ``bias_correct`` enables the corrector; ``bn_folding`` marks that
+    a following BN is folded into this layer at import time (``into_scale``
+    folds into the quantizer's static_scale instead of the weight data,
+    reference ``quantconv2d.py:115-133``).
+    """
+
+    weight: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    activation: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    bias_correct: Union[Mapping[str, Any], bool, None] = None
+    bn_folding: Union[Mapping[str, Any], bool, None] = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "weight", _freeze(dict(self.weight or {})))
+        object.__setattr__(self, "activation", _freeze(dict(self.activation or {})))
+        bc = self.bias_correct
+        object.__setattr__(self, "bias_correct", _freeze(dict(bc)) if isinstance(bc, Mapping) else bc)
+        bf = self.bn_folding
+        object.__setattr__(self, "bn_folding", _freeze(dict(bf)) if isinstance(bf, Mapping) else bf)
+
+    @property
+    def into_scale(self) -> bool:
+        if self.bn_folding and not isinstance(self.bn_folding, bool):
+            return bool(dict(self.bn_folding).get("into_scale", False))
+        return False
+
+    def bias_correct_kwargs(self) -> dict:
+        if isinstance(self.bias_correct, bool) or self.bias_correct is None:
+            return {}
+        return dict(self.bias_correct)
+
+
+FP32 = LayerQuantCfg(weight={"n_bits": 32}, activation={"n_bits": 32})
+
+
+def _maybe_corrector(cfg: LayerQuantCfg) -> Optional[BiasCorrect]:
+    if cfg.bias_correct:
+        return BiasCorrect(**cfg.bias_correct_kwargs())
+    return None
+
+
+class _QuantLayerBase(nn.Module):
+    """Shared calibrate/correct plumbing for dense & conv layers."""
+
+    def _specs(self, quant: LayerQuantCfg) -> Tuple[QuantSpec, QuantSpec]:
+        w_spec = QuantSpec.from_config(dict(quant.weight), "weight", channel_axis=-1)
+        a_spec = QuantSpec.from_config(dict(quant.activation), "activation", channel_axis=-1)
+        return w_spec, a_spec
+
+    def _run(
+        self,
+        x: jnp.ndarray,
+        kernel: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        mode: str,
+        quant: LayerQuantCfg,
+        contract: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+        bias_reduce: Callable[[jnp.ndarray], jnp.ndarray],
+    ) -> jnp.ndarray:
+        """The reference ``_forward`` dataflow (``quantconv2d.py:154-168``).
+
+        ``contract(x, w)`` is the layer's linear op (no bias);
+        ``bias_reduce`` maps the corrector output to a per-out-channel bias.
+        """
+        w_spec, a_spec = self._specs(quant)
+        w_quantizer = Quantizer(w_spec, awq_in_axis=-2, name="w_quantizer")
+        a_quantizer = Quantizer(a_spec, name="a_quantizer")
+        corrector = _maybe_corrector(quant)
+
+        if mode == "calibrate":
+            a_quantizer(x, mode="calibrate")
+            w_quantizer(
+                kernel, mode="calibrate",
+                pre_act=x, apply_fn=lambda w, a: contract(a, w),
+            )
+            if corrector is not None:
+                ex = self.variable(
+                    "qobs", "bias_correct_EX",
+                    lambda: corrector.init_state(x.shape[1:]),
+                )
+                ex.value = corrector.calibrate(ex.value, x)
+            xq, wq = a_quantizer(x, mode="fp32"), w_quantizer(kernel, mode="fp32")
+        else:
+            xq = a_quantizer(x, mode=mode)
+            wq = w_quantizer(kernel, mode=mode)
+
+        eff_bias = bias
+        if corrector is not None and mode == "quant" and self.has_variable("qobs", "bias_correct_EX"):
+            # deltaW = W·static − Ŵ  (reference quantconv2d.py:161-166)
+            ori = w_quantizer(kernel, mode="fp32")
+            ex_state = self.get_variable("qobs", "bias_correct_EX")
+            corr = corrector.correction(ex_state, ori - wq, lambda dw, e: contract(e, dw))
+            corr = bias_reduce(corr)
+            eff_bias = corr if eff_bias is None else eff_bias + corr
+
+        out = contract(xq, wq)
+        if eff_bias is not None:
+            out = out + eff_bias
+        return out
+
+
+class QuantDense(_QuantLayerBase):
+    """Quantized dense layer (reference QuantLinear, ``quantlinear.py:17``).
+
+    Kernel layout (in, out); weight per-channel = out features, activation
+    per-channel = in features (both axis -1 of their tensors).
+    """
+
+    features: int
+    use_bias: bool = True
+    quant: LayerQuantCfg = FP32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features), self.param_dtype)
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias or self.quant.bias_correct
+            else None
+        )
+        out = self._run(
+            x, kernel, bias, mode, self.quant,
+            contract=lambda a, w: a @ w,
+            bias_reduce=lambda c: c,
+        )
+        self.sow("taps", "out", out)
+        return out
+
+
+class QuantConv(_QuantLayerBase):
+    """Quantized 2-D convolution (reference QuantConv2d, ``quantconv2d.py:20``).
+
+    NHWC input, HWIO kernel. BN folding happens at parameter-import time
+    (:mod:`quantize_tpu.models.import_torch`); ``into_scale`` installs the BN
+    multiplier as the weight quantizer's static_scale instead.
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    kernel_dilation: Sequence[int] = (1, 1)
+    feature_group_count: int = 1
+    use_bias: bool = True
+    quant: LayerQuantCfg = FP32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+    param_dtype: Any = jnp.float32
+
+    def _conv(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=tuple(self.strides),
+            padding=self.padding,
+            rhs_dilation=tuple(self.kernel_dilation),
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1] // self.feature_group_count
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, in_ch, self.features), self.param_dtype)
+        needs_bias = self.use_bias or self.quant.bias_correct or self.quant.bn_folding
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if needs_bias
+            else None
+        )
+        out = self._run(
+            x, kernel, bias, mode, self.quant,
+            contract=self._conv,
+            bias_reduce=lambda c: jnp.mean(c, axis=(0, 1)),  # (H',W',C)->(C,)
+        )
+        self.sow("taps", "out", out)
+        return out
+
+
+class _ActQuantLayer(nn.Module):
+    """Activation-only quantization in front of an op (reference QuantReLU /
+    QuantMaxPool2d / QuantAdaptiveAvgPool2d pattern)."""
+
+    quant: LayerQuantCfg = FP32
+
+    def _quantize_in(self, x: jnp.ndarray, mode: str) -> jnp.ndarray:
+        a_spec = QuantSpec.from_config(dict(self.quant.activation), "activation", channel_axis=-1)
+        q = Quantizer(a_spec, name="a_quantizer")
+        if mode == "calibrate":
+            q(x, mode="calibrate")
+            return q(x, mode="fp32")
+        return q(x, mode=mode)
+
+
+class QuantReLU(_ActQuantLayer):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        out = jax.nn.relu(self._quantize_in(x, mode))
+        self.sow("taps", "out", out)
+        return out
+
+
+class QuantMaxPool(_ActQuantLayer):
+    window: Sequence[int] = (2, 2)
+    strides: Sequence[int] = (2, 2)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "VALID"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        x = self._quantize_in(x, mode)
+        out = nn.max_pool(
+            x, tuple(self.window), strides=tuple(self.strides), padding=self.padding
+        )
+        self.sow("taps", "out", out)
+        return out
+
+
+class QuantGlobalAvgPool(_ActQuantLayer):
+    """Adaptive average pool to 1x1 (the only variant the reference models use)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        x = self._quantize_in(x, mode)
+        out = jnp.mean(x, axis=(1, 2))
+        self.sow("taps", "out", out)
+        return out

@@ -1,0 +1,110 @@
+"""Fake-quantization primitives with straight-through gradients.
+
+The reference implements STE as a torch ``autograd.Function`` with handwritten
+gradients (``modelzoo/modules/quantizer.py:15-40``):
+
+    forward:  round(x/scale - zero)
+    backward: dx = g/scale,  dscale = -g·x/scale²,  dzero = -g
+
+Those are exactly the gradients of the *unrounded* expression
+``v = x/scale - zero``, so on TPU we express rounding as
+``v + stop_gradient(round(v) - v)`` and let autodiff produce identical
+gradients — no custom VJP needed for the core path. ``jnp.clip`` matches
+torch ``clamp``'s zero-gradient-outside-range behavior.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .qspec import QuantSpec, broadcast_to_axis
+
+
+def ste_round(v: jnp.ndarray) -> jnp.ndarray:
+    """Round with a straight-through (identity) gradient."""
+    return v + jax.lax.stop_gradient(jnp.round(v) - v)
+
+
+def ste_floor_plus(v: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
+    """AdaRound-style rounding ``floor(v) + frac`` with round-pass-through.
+
+    Matches ``modelzoo/modules/range/adaround.py:78-96``: gradient flows only
+    through ``frac`` (torch ``floor`` has zero gradient), and the final
+    hard-rounding is straight-through.
+    """
+    x_ada = jax.lax.stop_gradient(jnp.floor(v)) + frac
+    return x_ada + jax.lax.stop_gradient(jnp.round(x_ada) - x_ada)
+
+
+def quantize_core(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero: jnp.ndarray,
+    qmin: float,
+    qmax: float,
+    channel_axis: int = -1,
+    round_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """``clamp(round_fn(x/scale - zero), qmin, qmax)`` (still float dtype)."""
+    s = broadcast_to_axis(scale, x.ndim, channel_axis)
+    z = broadcast_to_axis(zero, x.ndim, channel_axis)
+    v = x / s - z
+    q = (round_fn or ste_round)(v)
+    return jnp.clip(q, qmin, qmax)
+
+
+def dequantize_core(
+    q: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero: jnp.ndarray,
+    channel_axis: int = -1,
+    static_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``(q + zero) * scale * static_scale`` (reference ``quantizer.py:218``)."""
+    s = broadcast_to_axis(scale, q.ndim, channel_axis)
+    z = broadcast_to_axis(zero, q.ndim, channel_axis)
+    out = (q + z) * s
+    if static_scale is not None:
+        out = out * broadcast_to_axis(static_scale, q.ndim, channel_axis)
+    return out
+
+
+def fake_quant(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero: jnp.ndarray,
+    qmin: float,
+    qmax: float,
+    channel_axis: int = -1,
+    static_scale: Optional[jnp.ndarray] = None,
+    awq_scale: Optional[jnp.ndarray] = None,
+    awq_axis: int = -2,
+    round_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Simulated quantization: quantize then dequantize.
+
+    When ``awq_scale`` is given, the input is pre-scaled along ``awq_axis``
+    (the in-channel axis) before quantization and divided back afterwards
+    (reference ``quantizer.py:209-220``).
+    """
+    if awq_scale is not None:
+        aws = broadcast_to_axis(awq_scale, x.ndim, awq_axis)
+        x = x * aws
+    q = quantize_core(x, scale, zero, qmin, qmax, channel_axis, round_fn)
+    out = dequantize_core(q, scale, zero, channel_axis, static_scale)
+    if awq_scale is not None:
+        out = out / aws
+    return out
+
+
+def quantize_int(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero: jnp.ndarray,
+    spec: QuantSpec,
+) -> jnp.ndarray:
+    """Quantize to the narrow integer storage dtype (packed/deploy path)."""
+    q = quantize_core(x, scale, zero, spec.qmin, spec.qmax, spec.channel_axis)
+    return jax.lax.stop_gradient(q).astype(spec.storage_dtype)
