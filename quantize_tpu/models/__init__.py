@@ -1,0 +1,47 @@
+"""Model zoo registry.
+
+Equivalent of the reference's ``MODELS`` registry + ``build_model``
+(``modelzoo/load.py:9,12``). Constructors take ``(num_classes, ctx)`` where
+``ctx`` is a :class:`~quantize_tpu.nn.intercept.QuantCtx`; passing
+``QuantCtx.fp32()`` (or None) yields the FP32 baseline network from the same
+code path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from ..nn.intercept import QuantCtx
+from ..utils.config import Config
+from ..utils.registry import Registry
+from . import mobilenet, resnet
+from .testnet import TestCNN
+
+MODELS = Registry("models")
+
+MODELS.register_dict({
+    "resnet18": resnet.resnet18,
+    "resnet34": resnet.resnet34,
+    "resnet50": resnet.resnet50,
+    "resnet101": resnet.resnet101,
+    "resnet152": resnet.resnet152,
+    "resnext50_32x4d": resnet.resnext50_32x4d,
+    "resnext101_32x8d": resnet.resnext101_32x8d,
+    "resnext101_64x4d": resnet.resnext101_64x4d,
+    "wide_resnet50_2": resnet.wide_resnet50_2,
+    "wide_resnet101_2": resnet.wide_resnet101_2,
+    "mobilenet_v1": mobilenet.mobilenet_v1,
+    "mobilenet_v2": mobilenet.mobilenet_v2,
+    "mobilenet_v3_large": mobilenet.mobilenet_v3_large,
+    "mobilenet_v3_small": mobilenet.mobilenet_v3_small,
+    "testcnn": lambda num_classes=10, ctx=None, **kw: TestCNN(
+        num_classes=num_classes, ctx=ctx or QuantCtx.fp32(), **kw
+    ),
+})
+
+
+def build_model(cfg_model: Config, ctx: Optional[QuantCtx] = None):
+    """Build a model from ``cfg.model`` (uses ``name`` + ``num_classes``)."""
+    name = cfg_model.name if hasattr(cfg_model, "name") else cfg_model["name"]
+    kwargs = {}
+    num_classes = getattr(cfg_model, "num_classes", None) or 1000
+    return MODELS.build(name, num_classes=num_classes, ctx=ctx, **kwargs)

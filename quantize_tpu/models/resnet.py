@@ -40,7 +40,7 @@ class _ConvBN(nn.Module):
     """Conv (+ BN when not folded) helper shared by all blocks."""
 
     ctx: QuantCtx
-    path: str
+    qpath: str
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int] = (1, 1)
@@ -59,7 +59,7 @@ class _ConvBN(nn.Module):
             padding=pad,
             feature_group_count=self.groups,
             use_bias=False,
-            quant=ctx.resolve(self.path, _conv_kind(ctx)),
+            quant=ctx.resolve(self.qpath, _conv_kind(ctx)),
             name=self.name_conv,
         )(x, mode=mode)
         if not ctx.bn_folding_enabled:
@@ -69,7 +69,7 @@ class _ConvBN(nn.Module):
 
 class BasicBlock(nn.Module):
     ctx: QuantCtx
-    path: str
+    qpath: str
     features: int
     strides: Sequence[int] = (1, 1)
     downsample: bool = False
@@ -77,13 +77,13 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
         identity = x
-        out = _ConvBN(self.ctx, f"{self.path}/conv1", self.features, (3, 3), self.strides,
+        out = _ConvBN(self.ctx, f"{self.qpath}/conv1", self.features, (3, 3), self.strides,
                       name_conv="conv1", name_bn="bn1")(x, mode, train)
         out = nn.relu(out)
-        out = _ConvBN(self.ctx, f"{self.path}/conv2", self.features, (3, 3),
+        out = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3),
                       name_conv="conv2", name_bn="bn2")(out, mode, train)
         if self.downsample:
-            identity = _ConvBN(self.ctx, f"{self.path}/downsample/0", self.features, (1, 1),
+            identity = _ConvBN(self.ctx, f"{self.qpath}/downsample/0", self.features, (1, 1),
                                self.strides, name_conv="downsample_conv",
                                name_bn="downsample_bn")(x, mode, train)
         return nn.relu(out + identity)
@@ -91,7 +91,7 @@ class BasicBlock(nn.Module):
 
 class Bottleneck(nn.Module):
     ctx: QuantCtx
-    path: str
+    qpath: str
     features: int  # bottleneck width (conv1/conv2 channels)
     out_features: int  # expansion * planes
     strides: Sequence[int] = (1, 1)
@@ -101,16 +101,16 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
         identity = x
-        out = _ConvBN(self.ctx, f"{self.path}/conv1", self.features, (1, 1),
+        out = _ConvBN(self.ctx, f"{self.qpath}/conv1", self.features, (1, 1),
                       name_conv="conv1", name_bn="bn1")(x, mode, train)
         out = nn.relu(out)
-        out = _ConvBN(self.ctx, f"{self.path}/conv2", self.features, (3, 3), self.strides,
+        out = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3), self.strides,
                       groups=self.groups, name_conv="conv2", name_bn="bn2")(out, mode, train)
         out = nn.relu(out)
-        out = _ConvBN(self.ctx, f"{self.path}/conv3", self.out_features, (1, 1),
+        out = _ConvBN(self.ctx, f"{self.qpath}/conv3", self.out_features, (1, 1),
                       name_conv="conv3", name_bn="bn3")(out, mode, train)
         if self.downsample:
-            identity = _ConvBN(self.ctx, f"{self.path}/downsample/0", self.out_features, (1, 1),
+            identity = _ConvBN(self.ctx, f"{self.qpath}/downsample/0", self.out_features, (1, 1),
                                self.strides, name_conv="downsample_conv",
                                name_bn="downsample_bn")(x, mode, train)
         return nn.relu(out + identity)

@@ -97,6 +97,7 @@ class Quantizer(nn.Module):
         zero.value = z
 
     # -- modes ------------------------------------------------------------
+    @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "quant", **calib_kw) -> jnp.ndarray:
         spec = self.spec
         if not spec.enabled:
@@ -145,15 +146,16 @@ class Quantizer(nn.Module):
             round_fn=round_fn,
         )
 
-    def quantize_to_int(self, x: jnp.ndarray) -> tuple:
-        """Deploy-path quantization: returns (q_int, scale*static, zero).
+def quantize_with_qparams(x: jnp.ndarray, spec: QuantSpec, qparams: dict) -> tuple:
+    """Deploy-path quantization from an exported qparams subtree.
 
-        Mirrors ``Quantizer.pack`` / packed forward (``quantizer.py:228-246``).
-        """
-        spec = self.spec
-        scale, zero = self._qparams(x)
-        s, z = scale.value, zero.value
-        ss = self._static_scale(x)
-        eff_scale = s if ss is None else s * ss
-        q = quantize_core(x, s, z, spec.qmin, spec.qmax, spec.channel_axis)
-        return q.astype(spec.storage_dtype), eff_scale, z
+    Returns (q_int, effective_scale, zero) — the reference ``Quantizer.pack``
+    contract (``quantizer.py:228-246``), with static_scale folded into the
+    returned scale.
+    """
+    s = qparams["scale"]
+    z = qparams["zero"]
+    ss = qparams.get("static_scale")
+    eff_scale = s if ss is None else s * ss
+    q = quantize_core(x, s, z, spec.qmin, spec.qmax, spec.channel_axis)
+    return q.astype(spec.storage_dtype), eff_scale, z

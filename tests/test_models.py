@@ -1,0 +1,77 @@
+"""Model zoo construction + forward shape checks (small inputs for speed)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantize_tpu.models import MODELS
+from quantize_tpu.nn.intercept import QuantCtx
+
+W8A8 = {
+    "default": {
+        "weight": {"n_bits": 8, "symmetric": True, "signed": True, "granularity": "channel",
+                   "range": {"name": "minmax"}},
+        "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                       "range": {"name": "maminmax", "momentum": 0.1}},
+        "bn_folding": True,
+    }
+}
+
+
+def test_resnet18_fp32_forward():
+    model = MODELS.build("resnet18", num_classes=10)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 10)
+
+
+def test_resnet18_quantized_calibrate_and_eval():
+    model = MODELS.build("resnet18", num_classes=10, ctx=QuantCtx(W8A8))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    variables.pop("taps", None)
+    # with bn_folding enabled there must be no BatchNorm state
+    assert "batch_stats" not in variables
+    _, upd = model.apply(variables, x, mode="calibrate", mutable=["qobs", "qparams"])
+    variables = {**variables, **upd}
+    y_q = model.apply(variables, x, mode="quant")
+    y_fp = model.apply(variables, x, mode="fp32")
+    assert y_q.shape == (2, 10)
+    rel = float(jnp.linalg.norm(y_q - y_fp) / (jnp.linalg.norm(y_fp) + 1e-9))
+    assert rel < 0.3  # random weights, just sanity
+
+
+def test_resnet50_bottleneck_shapes():
+    model = MODELS.build("resnet50", num_classes=7)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(variables, x).shape == (1, 7)
+
+
+@pytest.mark.parametrize("name", ["mobilenet_v1", "mobilenet_v2", "mobilenet_v3_small"])
+def test_mobilenets_forward(name):
+    model = MODELS.build(name, num_classes=5)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(variables, x).shape == (1, 5)
+
+
+def test_unfolded_bn_variant_has_batch_stats():
+    cfg = {k: dict(v) for k, v in W8A8.items()}
+    cfg["default"] = dict(cfg["default"], bn_folding=False)
+    model = MODELS.build("testcnn", num_classes=4, ctx=QuantCtx(cfg))
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, mode="calibrate")
+    assert "batch_stats" in variables
+
+
+def test_testcnn_quant_pipeline():
+    model = MODELS.build("testcnn", num_classes=4, ctx=QuantCtx(W8A8))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 16, 16, 3)).astype(np.float32))
+    variables = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    variables.pop("taps", None)
+    _, upd = model.apply(variables, x, mode="calibrate", mutable=["qobs", "qparams"])
+    variables = {**variables, **upd}
+    y = model.apply(variables, x, mode="quant")
+    assert y.shape == (4, 4) and np.isfinite(np.asarray(y)).all()
