@@ -1,0 +1,125 @@
+"""ImageNet folder datasets (+ A/R/V2/Sketch/C variants).
+
+Covers the reference's ImageNet family (``dataset/imagenet/imagenet.py:47-84``
+and the variant files): a class-per-directory image tree, loaded lazily with
+PIL. The pickle index cache of the reference becomes an in-memory index; the
+few-shot split is handled by :meth:`ArrayDataset.few_shot`-equivalent logic
+at the index level (images decode on demand).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from .base import DATASETS
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+class FolderDataset:
+    """Lazy class-per-directory image dataset (decode on batch access)."""
+
+    def __init__(self, root: str, transform=None, classnames: Optional[Sequence[str]] = None):
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"ImageNet-style directory not found: {root} (no auto-download)"
+            )
+        self.root = root
+        self.transform = transform
+        classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.classnames = list(classnames) if classnames else classes
+        self.paths: List[str] = []
+        self.labels_list: List[int] = []
+        for ci, cls in enumerate(classes):
+            cdir = os.path.join(root, cls)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(_IMG_EXTS):
+                    self.paths.append(os.path.join(cdir, fname))
+                    self.labels_list.append(ci)
+        self.labels = np.asarray(self.labels_list, np.int32)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classnames)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def get_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        imgs = []
+        for i in indices:
+            with Image.open(self.paths[int(i)]) as im:
+                imgs.append(np.asarray(im.convert("RGB")))
+        batch = imgs
+        if self.transform is not None:
+            # transforms handle ragged sizes via per-image PIL ops
+            batch = self.transform(np.asarray(imgs, dtype=object) if _ragged(imgs) else np.stack(imgs))
+        else:
+            batch = np.stack(imgs)
+        return {"img": np.asarray(batch, np.float32), "label": self.labels[indices]}
+
+    def few_shot(self, num_shots: int, seed: int = 0) -> "FolderDataset":
+        if not num_shots or num_shots <= 0:
+            return self
+        rng = np.random.default_rng(seed)
+        keep: List[int] = []
+        for c in np.unique(self.labels):
+            idx = np.flatnonzero(self.labels == c)
+            keep.extend(rng.choice(idx, size=min(num_shots, len(idx)), replace=False).tolist())
+        keep_sorted = sorted(keep)
+        out = object.__new__(FolderDataset)
+        out.root, out.transform, out.classnames = self.root, self.transform, self.classnames
+        out.paths = [self.paths[i] for i in keep_sorted]
+        out.labels_list = [self.labels_list[i] for i in keep_sorted]
+        out.labels = np.asarray(out.labels_list, np.int32)
+        return out
+
+
+def _ragged(imgs: List[np.ndarray]) -> bool:
+    return len({im.shape for im in imgs}) > 1
+
+
+def _folder(split_cfg, transform, subdir_attr: str = "split") -> FolderDataset:
+    root = getattr(split_cfg, "root", None) or "."
+    split = getattr(split_cfg, subdir_attr, None) or "val"
+    return FolderDataset(os.path.join(root, split), transform=transform)
+
+
+@DATASETS.register(name="imagenet")
+def imagenet(split_cfg, transform=None) -> FolderDataset:
+    return _folder(split_cfg, transform)
+
+
+@DATASETS.register(name="imagenet_a")
+def imagenet_a(split_cfg, transform=None) -> FolderDataset:
+    return _folder(split_cfg, transform)
+
+
+@DATASETS.register(name="imagenet_r")
+def imagenet_r(split_cfg, transform=None) -> FolderDataset:
+    return _folder(split_cfg, transform)
+
+
+@DATASETS.register(name="imagenet_v2")
+def imagenet_v2(split_cfg, transform=None) -> FolderDataset:
+    return _folder(split_cfg, transform)
+
+
+@DATASETS.register(name="imagenet_sketch")
+def imagenet_sketch(split_cfg, transform=None) -> FolderDataset:
+    return _folder(split_cfg, transform)
+
+
+@DATASETS.register(name="imagenet_c")
+def imagenet_c(split_cfg, transform=None) -> FolderDataset:
+    """ImageNet-C: root/<corruption>/<level>/<class>/*.jpg
+    (reference ``dataset/imagenet/imagenet_c.py:18-66``)."""
+    root = getattr(split_cfg, "root", None) or "."
+    corruption = getattr(split_cfg, "corruption", None) or "gaussian_noise"
+    level = str(getattr(split_cfg, "level", None) or 1)
+    return FolderDataset(os.path.join(root, corruption, level), transform=transform)
