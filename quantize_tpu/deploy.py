@@ -1,0 +1,66 @@
+"""Packed-model export: simulation variables -> deploy variables.
+
+The reference packs layer-by-layer via ``module.pack()`` calls
+(``runner/ptq.py:106-114``, ``quantconv2d.py:170-196``); here packing is one
+functional transform: an apply in ``mode='pack'`` writes every layer's
+integer weight buffers, baked biases, and activation qparams into the
+``packed`` collection, and this module strips the now-redundant FP32 tensors
+for a deploy-ready variables pytree.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_W_KEYS = ("w_int", "w_p4", "w_p4c")
+
+
+def pack_model(model, variables: Dict[str, Any], sample_x: jnp.ndarray) -> Dict[str, Any]:
+    """Run the pack pass and return deploy variables.
+
+    The result contains: ``packed`` (int weights + scales + baked biases +
+    act qparams), ``qparams`` (for activation-only layers), and ``params``
+    entries only for layers whose weights were NOT quantized (plus
+    batch_stats if BN was not folded).
+    """
+    _, upd = model.apply(variables, sample_x, mode="pack", mutable=["packed"])
+    packed = upd["packed"]
+
+    params = _strip_packed_params(variables.get("params", {}), packed)
+    deploy = {"packed": packed, "params": params}
+    if "qparams" in variables:
+        deploy["qparams"] = variables["qparams"]
+    if "batch_stats" in variables:
+        deploy["batch_stats"] = variables["batch_stats"]
+    return deploy
+
+
+def _strip_packed_params(params: Any, packed: Any) -> Any:
+    """Drop kernel+bias for every module whose packed subtree holds an
+    integer weight (the weight and bias are baked into ``packed``)."""
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    for k, v in params.items():
+        pk = packed.get(k, {}) if isinstance(packed, dict) else {}
+        if isinstance(v, dict):
+            if any(w in pk for w in _W_KEYS):
+                kept = {kk: vv for kk, vv in v.items() if kk not in ("kernel", "bias")}
+                if kept:
+                    out[k] = _strip_packed_params(kept, pk)
+            else:
+                sub = _strip_packed_params(v, pk)
+                if sub != {}:
+                    out[k] = sub
+        else:
+            out[k] = v
+    return out
+
+
+def model_size_bytes(variables: Dict[str, Any]) -> int:
+    """Total bytes of all array leaves (reporting/packing-ratio checks)."""
+    leaves = jax.tree.leaves(variables)
+    return int(sum(np.asarray(l).nbytes for l in leaves))

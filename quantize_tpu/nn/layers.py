@@ -24,7 +24,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.pallas.qmatmul import (
+    pack_int4_splithalf, quant_matmul_w4a8, quant_matmul_w8a8, quant_matmul_wo,
+)
+from ..ops.qconv import quant_conv2d, quant_conv2d_wo
+from ..quant.fakequant import fake_quant
 from ..quant.observers import BiasCorrect
+from ..quant.pack import pack_int4_pairs, unpack_int4_pairs
 from ..quant.qspec import QuantSpec, _freeze
 from .quantizer import Quantizer
 
@@ -133,6 +139,68 @@ class _QuantLayerBase(nn.Module):
             out = out + eff_bias
         return out
 
+    # -- pack (deploy export) --------------------------------------------
+    def _pack(
+        self,
+        x: jnp.ndarray,
+        kernel: jnp.ndarray,
+        bias: Optional[jnp.ndarray],
+        quant: LayerQuantCfg,
+        contract: Callable,
+        bias_reduce: Callable,
+        store_weight: Callable[[Callable, jnp.ndarray], None],
+    ) -> jnp.ndarray:
+        """mode='pack': bake bias correction into the bias, quantize the
+        weight to its integer grid, and store deploy buffers in the
+        ``packed`` collection (reference ``QuantConv2d.pack``,
+        ``quantconv2d.py:170-196``). Returns the FP32 forward so the pack
+        pass can flow through the whole network in one apply."""
+        w_spec, a_spec = self._specs(quant)
+        w_quantizer = Quantizer(w_spec, awq_in_axis=-2, name="w_quantizer")
+        a_quantizer = Quantizer(a_spec, name="a_quantizer")
+        corrector = _maybe_corrector(quant)
+        n_out = kernel.shape[-1]
+        pv = lambda name, val: self.put_variable("packed", name, val)  # noqa: E731
+
+        ori = w_quantizer(kernel, mode="fp32")
+        eff_bias = bias
+        if corrector is not None and self.has_variable("qobs", "bias_correct_EX"):
+            wq = w_quantizer(kernel, mode="quant")
+            ex_state = self.get_variable("qobs", "bias_correct_EX")
+            corr = bias_reduce(
+                corrector.correction(ex_state, ori - wq, lambda dw, e: contract(e, dw))
+            )
+            eff_bias = corr if eff_bias is None else eff_bias + corr
+        pv("bias", jnp.zeros((n_out,), jnp.float32) if eff_bias is None
+           else jnp.asarray(eff_bias, jnp.float32))
+
+        if w_spec.enabled:
+            q, w_scale, w_zero = w_quantizer(kernel, mode="pack")
+            # shift unsigned grids into int8 range, folding into the zero
+            shift = (1 << (w_spec.n_bits - 1)) if w_spec.qmin >= 0 else 0
+            q_i8 = (q - shift).astype(jnp.int8)
+            w_zero = jnp.asarray(w_zero, jnp.float32) + shift
+            pv("w_scale", jnp.broadcast_to(jnp.asarray(w_scale, jnp.float32).reshape(-1), (n_out,)))
+            pv("w_zero", jnp.broadcast_to(w_zero.reshape(-1), (n_out,)))
+            store_weight(pv, q_i8)
+
+        if a_spec.enabled:
+            a_scale, a_zero = a_quantizer(x, mode="export_qparams")
+            pv("a_scale", jnp.asarray(a_scale, jnp.float32))
+            pv("a_zero", jnp.asarray(a_zero, jnp.float32))
+
+        out = contract(x, ori)
+        if eff_bias is not None:
+            out = out + eff_bias
+        return out
+
+    def _packed_act(self, x: jnp.ndarray, a_spec: QuantSpec) -> jnp.ndarray:
+        """Fallback activation fake-quant for packed paths that cannot fuse
+        (per-channel activation scales)."""
+        a_scale = self.get_variable("packed", "a_scale")
+        a_zero = self.get_variable("packed", "a_zero")
+        return fake_quant(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax, channel_axis=-1)
+
 
 class QuantDense(_QuantLayerBase):
     """Quantized dense layer (reference QuantLinear, ``quantlinear.py:17``).
@@ -148,17 +216,75 @@ class QuantDense(_QuantLayerBase):
     bias_init: Callable = nn.initializers.zeros_init()
     param_dtype: Any = jnp.float32
 
+    def _use_p4(self, k: int, w_spec: QuantSpec) -> bool:
+        return w_spec.enabled and w_spec.n_bits <= 4 and k % 2 == 0
+
+    def _packed_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        w_spec, a_spec = self._specs(self.quant)
+        bias = self.get_variable("packed", "bias")
+        k = x.shape[-1]
+        p4 = self._use_p4(k, w_spec)
+
+        if not w_spec.enabled:
+            # activation-only quantization: float weights stay in params
+            kernel = self.get_variable("params", "kernel")
+            xq = self._packed_act(x, a_spec) if a_spec.enabled else x
+            return xq @ kernel + bias
+
+        w_scale = self.get_variable("packed", "w_scale")
+        w_zero = self.get_variable("packed", "w_zero")
+        fusable = a_spec.enabled and not a_spec.per_channel
+        if fusable:
+            a_scale = self.get_variable("packed", "a_scale").reshape(())
+            a_zero = self.get_variable("packed", "a_zero").reshape(())
+            if p4:
+                w_p4 = self.get_variable("packed", "w_p4")
+                return quant_matmul_w4a8(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
+                                         w_p4, w_scale, w_zero, bias)
+            w_int = self.get_variable("packed", "w_int")
+            col_sum = self.get_variable("packed", "col_sum")
+            return quant_matmul_w8a8(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
+                                     w_int, w_scale, w_zero, bias, col_sum)
+        # weight-only (or per-channel-activation fallback)
+        if p4:
+            from ..ops.pallas.qmatmul import unpack_int4_splithalf
+
+            w_int = unpack_int4_splithalf(self.get_variable("packed", "w_p4"))
+        else:
+            w_int = self.get_variable("packed", "w_int")
+        xq = self._packed_act(x, a_spec) if a_spec.enabled else x
+        return quant_matmul_wo(xq, w_int, w_scale, w_zero, bias)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        if mode == "packed":
+            out = self._packed_forward(x)
+            self.sow("taps", "out", out)
+            return out
+
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features), self.param_dtype)
         bias = (
             self.param("bias", self.bias_init, (self.features,), self.param_dtype)
             if self.use_bias or self.quant.bias_correct
             else None
         )
+        contract = lambda a, w: a @ w  # noqa: E731
+        if mode == "pack":
+            w_spec, _ = self._specs(self.quant)
+
+            def store_weight(pv, q_i8):
+                if self._use_p4(kernel.shape[0], w_spec):
+                    pv("w_p4", pack_int4_splithalf(q_i8))
+                else:
+                    pv("w_int", q_i8)
+                    pv("col_sum", jnp.sum(q_i8.astype(jnp.int32), axis=0))
+
+            return self._pack(x, kernel, bias, self.quant, contract,
+                              lambda c: c, store_weight)
+
         out = self._run(
             x, kernel, bias, mode, self.quant,
-            contract=lambda a, w: a @ w,
+            contract=contract,
             bias_reduce=lambda c: c,
         )
         self.sow("taps", "out", out)
@@ -195,8 +321,46 @@ class QuantConv(_QuantLayerBase):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
+    def _use_p4c(self, in_ch: int, w_spec: QuantSpec) -> bool:
+        return w_spec.enabled and w_spec.n_bits <= 4 and in_ch % 2 == 0
+
+    def _packed_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        w_spec, a_spec = self._specs(self.quant)
+        bias = self.get_variable("packed", "bias")
+        conv_kw = dict(strides=tuple(self.strides), padding=self.padding,
+                       groups=self.feature_group_count)
+
+        if not w_spec.enabled:
+            kernel = self.get_variable("params", "kernel")
+            xq = self._packed_act(x, a_spec) if a_spec.enabled else x
+            return self._conv(xq, kernel) + bias
+
+        w_scale = self.get_variable("packed", "w_scale")
+        w_zero = self.get_variable("packed", "w_zero")
+        if self.has_variable("packed", "w_p4c"):
+            w_int = unpack_int4_pairs(self.get_variable("packed", "w_p4c"), axis=2)
+        else:
+            w_int = self.get_variable("packed", "w_int")
+
+        fusable = a_spec.enabled and not a_spec.per_channel
+        if fusable:
+            a_scale = self.get_variable("packed", "a_scale").reshape(())
+            a_zero = self.get_variable("packed", "a_zero").reshape(())
+            return quant_conv2d(
+                x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
+                w_int, w_scale, w_zero, bias,
+                w_zero_is_zero=bool(w_spec.symmetric), **conv_kw,
+            )
+        xq = self._packed_act(x, a_spec) if a_spec.enabled else x
+        return quant_conv2d_wo(xq, w_int, w_scale, w_zero, bias, **conv_kw)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        if mode == "packed":
+            out = self._packed_forward(x)
+            self.sow("taps", "out", out)
+            return out
+
         kh, kw = self.kernel_size
         in_ch = x.shape[-1] // self.feature_group_count
         kernel = self.param("kernel", self.kernel_init, (kh, kw, in_ch, self.features), self.param_dtype)
@@ -206,6 +370,18 @@ class QuantConv(_QuantLayerBase):
             if needs_bias
             else None
         )
+        if mode == "pack":
+            w_spec, _ = self._specs(self.quant)
+
+            def store_weight(pv, q_i8):
+                if self._use_p4c(in_ch, w_spec):
+                    pv("w_p4c", pack_int4_pairs(q_i8, axis=2))
+                else:
+                    pv("w_int", q_i8)
+
+            return self._pack(x, kernel, bias, self.quant, self._conv,
+                              lambda c: jnp.mean(c, axis=(0, 1)), store_weight)
+
         out = self._run(
             x, kernel, bias, mode, self.quant,
             contract=self._conv,
@@ -227,6 +403,12 @@ class _ActQuantLayer(nn.Module):
         if mode == "calibrate":
             q(x, mode="calibrate")
             return q(x, mode="fp32")
+        if mode == "pack":
+            return q(x, mode="fp32")
+        if mode == "packed":
+            # activation-only layers need no packed buffers; fake-quant with
+            # the stored qparams is already the deploy behavior
+            return q(x, mode="quant")
         return q(x, mode=mode)
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..quant.adaround import adaround_round, init_v
@@ -128,13 +129,30 @@ class Quantizer(nn.Module):
             self.put_variable("adaround", "V", init_v(x / sb - zb))
             return self._apply_static(x)
 
-        if mode != "quant":
-            raise ValueError(f"unknown quantizer mode {mode!r}")
-
         round_fn = None
         if spec.adaround and self.has_variable("adaround", "V"):
             v = self.get_variable("adaround", "V")
             round_fn = lambda t: adaround_round(t, v)  # noqa: E731
+
+        if mode == "export_qparams":
+            # Return (scale·static, zero) for the layer's pack step; the
+            # reference ``Quantizer.pack`` returns the same contract
+            # (``quantizer.py:240-246``).
+            ss = self._static_scale(x)
+            return (s if ss is None else s * ss), z
+
+        if mode == "pack":
+            # Quantize to the integer grid with the layer's rounding
+            # (AdaRound-aware) and return (q, scale·static, zero).
+            if spec.range_name == "awq":
+                raise NotImplementedError("AWQ does not support packed mode")
+            q = quantize_core(x, s, z, spec.qmin, spec.qmax, spec.channel_axis, round_fn)
+            ss = self._static_scale(x)
+            eff = s if ss is None else s * ss
+            return jax.lax.stop_gradient(q), eff, z
+
+        if mode != "quant":
+            raise ValueError(f"unknown quantizer mode {mode!r}")
 
         ss = self._static_scale(x)
         return fake_quant(

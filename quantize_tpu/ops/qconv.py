@@ -1,0 +1,106 @@
+"""Fused dequantize-conv2d on the int8 MXU path.
+
+Replaces the reference CUDA kernels ``quantconv2d.cu:50-146`` (int x int) and
+``quantconv2d_float_input.cu:46-121`` (float x packed weight). XLA lowers
+``conv_general_dilated(int8, int8) -> int32`` straight onto the MXU, so the
+fused design is: quantize activations to int8 (VPU, fused), one int8 conv,
+then an epilogue applying the zero-point corrections and per-channel rescale.
+
+Zero-point algebra with SAME/explicit padding needs care: the int8 conv pads
+with q=0, but a padded position must contribute *zero* to the float result
+while a real q=0 position contributes ``z_a·s_a·ŵ``. The correction term
+``z_a·Σ_valid w`` therefore varies near borders. It is computed exactly with
+a cheap auxiliary conv of the validity mask against the ci-summed kernel
+(cost ~1/C_in of the main conv, and only when z_a != 0):
+
+    out = s_a·s_w·( conv(q_a, q_w) + z_a·conv(mask, Σ_ci q_w)
+                    + z_w·conv(q_a, 1) + z_a·z_w·conv(mask, 1) ) + bias
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .pallas.qmatmul import quantize_act_int8
+
+Padding = Union[str, Sequence[Tuple[int, int]]]
+
+
+def _conv(x, w, strides, padding, groups=1, preferred=jnp.float32):
+    return jax.lax.conv_general_dilated(
+        x, w, tuple(strides), padding,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
+    )
+
+
+def quant_conv2d(
+    x: jnp.ndarray,
+    a_scale: jnp.ndarray,
+    a_zero: jnp.ndarray,
+    a_qmin: int,
+    a_qmax: int,
+    w_int: jnp.ndarray,  # (kh, kw, ci/groups, co) int8
+    w_scale: jnp.ndarray,  # (co,)
+    w_zero: jnp.ndarray,  # (co,)
+    bias: Optional[jnp.ndarray] = None,
+    strides: Sequence[int] = (1, 1),
+    padding: Padding = "SAME",
+    groups: int = 1,
+    w_zero_is_zero: bool = False,
+) -> jnp.ndarray:
+    """Fused W8A8 conv2d (per-out-channel weight scales, per-tensor act)."""
+    n, h, w_sp, _ = x.shape
+    q_a, z_eff = quantize_act_int8(x, a_scale, a_zero, a_qmin, a_qmax)
+
+    acc = _conv(q_a, w_int.astype(jnp.int8), strides, padding, groups,
+                preferred=jnp.int32).astype(jnp.float32)
+
+    # validity-mask conv for the z_a corrections (border-exact)
+    mask = jnp.ones((1, h, w_sp, 1), jnp.float32)
+    w_ci_sum = jnp.sum(w_int.astype(jnp.float32), axis=2, keepdims=True)  # (kh,kw,1,co)
+    corr_a = _conv(mask, w_ci_sum, strides, padding)  # (1,H',W',co)
+    corrected = acc + z_eff * corr_a
+
+    if not w_zero_is_zero:
+        kh, kw, ci_g, co = w_int.shape
+        # Σ_valid q_a per output channel — grouped convs sum only their own
+        # input slice, so use a per-group ones kernel
+        ones_k = jnp.ones((kh, kw, ci_g, groups), jnp.float32)
+        row_sum = _conv(q_a.astype(jnp.float32), ones_k, strides, padding,
+                        groups=groups)  # (N,H',W',groups)
+        row_sum = jnp.repeat(row_sum, co // groups, axis=-1)
+        # z_a·z_w counts valid *elements*: taps × ci_g
+        count = _conv(mask, jnp.ones((kh, kw, 1, 1), jnp.float32), strides, padding) * ci_g
+        wz = w_zero.reshape(1, 1, 1, -1)
+        corrected = corrected + wz * row_sum + z_eff * wz * count
+
+    out = jnp.asarray(a_scale, jnp.float32) * w_scale.reshape(1, 1, 1, -1) * corrected
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def quant_conv2d_wo(
+    x: jnp.ndarray,
+    w_int: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    w_zero: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    strides: Sequence[int] = (1, 1),
+    padding: Padding = "SAME",
+    groups: int = 1,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Weight-only-quantized conv: dequantize weight (cheap, O(|W|)) and run
+    the conv in float/bf16 — int storage halves/quarters weight HBM traffic;
+    the ``quantconv2d_float_input`` analog."""
+    w_deq = (w_int.astype(jnp.float32) + w_zero) * w_scale
+    out = _conv(x.astype(compute_dtype), w_deq.astype(compute_dtype),
+                strides, padding, groups, preferred=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out

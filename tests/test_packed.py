@@ -1,0 +1,149 @@
+"""Packed (deploy) inference path vs fake-quant simulation.
+
+The key contract: packed integer inference computes the same math as the
+fake-quant simulation (up to f32 epilogue rounding) — the reference never
+achieved this (its fused CUDA path was disabled, ``quantconv2d.py:204-206``);
+here it is the primary path and must be provably equivalent.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantize_tpu.deploy import model_size_bytes, pack_model
+from quantize_tpu.models import MODELS
+from quantize_tpu.nn.intercept import QuantCtx
+from quantize_tpu.nn.layers import LayerQuantCfg, QuantConv, QuantDense
+
+
+def calibrated(model, x, seed=0):
+    variables = dict(model.init(jax.random.PRNGKey(seed), x, mode="calibrate"))
+    variables.pop("taps", None)
+    _, upd = model.apply(variables, x, mode="calibrate", mutable=["qobs", "qparams"])
+    return {**variables, **upd}
+
+
+def cfg_w8a8():
+    return LayerQuantCfg(
+        weight={"n_bits": 8, "symmetric": True, "signed": True, "granularity": "channel",
+                "range": {"name": "minmax"}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+
+
+def cfg_w4a8():
+    c = cfg_w8a8()
+    return LayerQuantCfg(weight=dict(dict(c.weight), n_bits=4), activation=dict(c.activation))
+
+
+def cfg_w4_only():
+    return LayerQuantCfg(
+        weight={"n_bits": 4, "symmetric": True, "granularity": "channel",
+                "range": {"name": "minmax"}},
+        activation={"n_bits": 32},
+    )
+
+
+@pytest.mark.parametrize("cfg_fn", [cfg_w8a8, cfg_w4a8, cfg_w4_only])
+def test_dense_packed_matches_sim(cfg_fn):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    model = QuantDense(features=32, quant=cfg_fn())
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+    _, upd = model.apply(variables, x, mode="pack", mutable=["packed"])
+    vp = {**variables, **upd}
+    y_packed = model.apply(vp, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("cfg_fn", [cfg_w8a8, cfg_w4a8, cfg_w4_only])
+@pytest.mark.parametrize("strides,padding", [((1, 1), "SAME"), ((2, 2), [(1, 1), (1, 1)])])
+def test_conv_packed_matches_sim(cfg_fn, strides, padding):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 8)).astype(np.float32))
+    model = QuantConv(features=16, kernel_size=(3, 3), strides=strides, padding=padding,
+                      quant=cfg_fn())
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+    _, upd = model.apply(variables, x, mode="pack", mutable=["packed"])
+    vp = {**variables, **upd}
+    y_packed = model.apply(vp, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=2e-3, atol=2e-3)
+
+
+def test_conv_packed_asymmetric_weights():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 10, 10, 6)).astype(np.float32))
+    cfg = LayerQuantCfg(
+        weight={"n_bits": 8, "symmetric": False, "granularity": "channel",
+                "range": {"name": "minmax"}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+    model = QuantConv(features=12, kernel_size=(3, 3), quant=cfg)
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+    _, upd = model.apply(variables, x, mode="pack", mutable=["packed"])
+    y_packed = model.apply({**variables, **upd}, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=3e-3, atol=3e-3)
+
+
+def test_full_model_pack_and_size_reduction():
+    W8A8 = {
+        "default": {
+            "weight": {"n_bits": 8, "symmetric": True, "granularity": "channel",
+                       "range": {"name": "minmax"}},
+            "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                           "range": {"name": "minmax"}},
+            "bn_folding": True,
+        }
+    }
+    model = MODELS.build("testcnn", num_classes=4, ctx=QuantCtx(W8A8))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+
+    deploy = pack_model(model, variables, x)
+    y_packed = model.apply(deploy, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=5e-3, atol=5e-3)
+
+    # deploy weights must be meaningfully smaller than FP32 params
+    fp32_size = model_size_bytes({"params": variables["params"]})
+    packed_size = model_size_bytes({"packed": deploy["packed"], "params": deploy["params"]})
+    assert packed_size < 0.5 * fp32_size
+
+
+def test_w4_model_packs_to_quarter():
+    W4 = {
+        "default": {
+            "weight": {"n_bits": 4, "symmetric": True, "granularity": "channel",
+                       "range": {"name": "minmax"}},
+            "activation": {"n_bits": 32},
+            "bn_folding": True,
+        }
+    }
+    model = MODELS.build("testcnn", num_classes=4, ctx=QuantCtx(W4))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    variables = calibrated(model, x)
+    deploy = pack_model(model, variables, x)
+    y = model.apply(deploy, x, mode="packed")
+    assert np.isfinite(np.asarray(y)).all()
+    # int4 weight payload: w_p4/w_p4c buffers hold 2 weights per byte
+    from quantize_tpu.deploy import _W_KEYS
+
+    def count(tree, keys):
+        tot = 0
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                tot += count(v, keys)
+            elif k in keys:
+                tot += np.asarray(v).nbytes
+        return tot
+
+    w4_bytes = count(deploy["packed"], set(_W_KEYS))
+    fp32_bytes = count(variables["params"], {"kernel"})
+    assert w4_bytes < 0.15 * fp32_bytes
