@@ -1,0 +1,83 @@
+"""Headline benchmark: ResNet-50 W8A8 packed inference, images/sec/chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": R}
+
+``vs_baseline`` is the speedup of the fused int8 packed path over the same
+model's FP32 forward on the same chip (the reference publishes no throughput
+numbers — its packed fast path was disabled, SURVEY.md §6 — so the FP32
+forward is the honest baseline).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _build(batch: int, size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from quantize_tpu.deploy import pack_model
+    from quantize_tpu.models import MODELS
+    from quantize_tpu.nn.intercept import QuantCtx
+
+    cfg = {
+        "default": {
+            "weight": {"n_bits": 8, "symmetric": True, "signed": True,
+                       "granularity": "channel", "range": {"name": "minmax"}},
+            "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                           "range": {"name": "minmax"}},
+            "bn_folding": True,
+        }
+    }
+    model = MODELS.build("resnet50", num_classes=1000, ctx=QuantCtx(cfg))
+    rng = np.random.default_rng(0)
+    x_small = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32))
+    variables = dict(model.init(jax.random.PRNGKey(0), x_small, mode="calibrate"))
+    variables.pop("taps", None)
+    _, upd = model.apply(variables, x_small, mode="calibrate", mutable=["qobs", "qparams"])
+    variables = {**variables, **upd}
+    deploy = pack_model(model, variables, x_small)
+    x = jnp.asarray(rng.normal(size=(batch, size, size, 3)).astype(np.float32))
+    return model, variables, deploy, x
+
+
+def _time(fn, x, iters: int, warmup: int = 2) -> float:
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+
+    batch, size, iters = 128, 224, 10
+    model, variables, deploy, x = _build(batch, size)
+
+    packed_fn = jax.jit(lambda img: model.apply(deploy, img, mode="packed"))
+    fp32_fn = jax.jit(lambda img: model.apply(variables, img, mode="fp32"))
+
+    t_packed = _time(packed_fn, x, iters)
+    t_fp32 = _time(fp32_fn, x, iters)
+
+    img_s = batch / t_packed
+    base_img_s = batch / t_fp32
+    print(json.dumps({
+        "metric": "resnet50_w8a8_packed_inference",
+        "value": round(img_s, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / base_img_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ from typing import Optional
 from ..nn.intercept import QuantCtx
 from ..utils.config import Config
 from ..utils.registry import Registry
-from . import mobilenet, resnet
+from . import mobilenet, resnet, vit
 from .testnet import TestCNN
 
 MODELS = Registry("models")
@@ -29,6 +29,11 @@ MODELS.register_dict({
     "resnext101_64x4d": resnet.resnext101_64x4d,
     "wide_resnet50_2": resnet.wide_resnet50_2,
     "wide_resnet101_2": resnet.wide_resnet101_2,
+    "vit_b_16": vit.vit_b_16,
+    "vit_b_32": vit.vit_b_32,
+    "vit_l_16": vit.vit_l_16,
+    "vit_l_32": vit.vit_l_32,
+    "vit_h_14": vit.vit_h_14,
     "mobilenet_v1": mobilenet.mobilenet_v1,
     "mobilenet_v2": mobilenet.mobilenet_v2,
     "mobilenet_v3_large": mobilenet.mobilenet_v3_large,

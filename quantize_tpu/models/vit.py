@@ -1,0 +1,115 @@
+"""Quantization-aware Vision Transformer (torchvision-compatible).
+
+Covers the reference ViT zoo (``modelzoo/transformers/vision_transformer.py:
+8-16``): vit_b_16/32, vit_l_16/32, vit_h_14. Quantized modules mirror what
+the reference's surgery reaches: the patch-embedding conv (``nn_conv2d``),
+every MLP linear (``nn_linear``), the attention blocks
+(``nn_multiheadattention``), and the classification head; LayerNorms stay in
+float. Layer paths follow torchvision naming so regex-scoped overrides work:
+``/conv_proj``, ``/encoder/layers/encoder_layer_0/self_attention``, ...
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..nn.attention import QuantMultiheadAttention
+from ..nn.intercept import QuantCtx
+from ..nn.layers import QuantConv, QuantDense
+
+
+class MLPBlock(nn.Module):
+    ctx: QuantCtx
+    qpath: str
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        x = QuantDense(self.hidden_dim, quant=self.ctx.resolve(f"{self.qpath}/0", "nn_linear"),
+                       name="linear1")(x, mode=mode)
+        x = nn.gelu(x, approximate=False)
+        return QuantDense(self.out_dim, quant=self.ctx.resolve(f"{self.qpath}/3", "nn_linear"),
+                          name="linear2")(x, mode=mode)
+
+
+class EncoderBlock(nn.Module):
+    ctx: QuantCtx
+    qpath: str
+    num_heads: int
+    hidden_dim: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
+        h = QuantMultiheadAttention(
+            self.hidden_dim, self.num_heads,
+            quant=self.ctx.resolve(f"{self.qpath}/self_attention", "nn_multiheadattention"),
+            name="self_attention",
+        )(h, mode=mode)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
+        h = MLPBlock(self.ctx, f"{self.qpath}/mlp", self.mlp_dim, self.hidden_dim,
+                     name="mlp")(h, mode=mode)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    image_size: int = 224
+    patch_size: int = 16
+    num_layers: int = 12
+    num_heads: int = 12
+    hidden_dim: int = 768
+    mlp_dim: int = 3072
+    num_classes: int = 1000
+    ctx: QuantCtx = QuantCtx.fp32()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
+        del train
+        n = x.shape[0]
+        x = QuantConv(
+            self.hidden_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            quant=self.ctx.resolve("/conv_proj", "nn_conv2d"), name="conv_proj",
+        )(x, mode=mode)
+        x = x.reshape(n, -1, self.hidden_dim)  # (N, patches, D)
+
+        cls = self.param("class_token", nn.initializers.zeros, (1, 1, self.hidden_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.hidden_dim)), x], axis=1)
+        seq_len = x.shape[1]
+        pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+                         (1, seq_len, self.hidden_dim))
+        x = x + pos
+
+        for i in range(self.num_layers):
+            x = EncoderBlock(
+                self.ctx, f"/encoder/layers/encoder_layer_{i}",
+                self.num_heads, self.hidden_dim, self.mlp_dim,
+                name=f"encoder_layer_{i}",
+            )(x, mode=mode)
+        x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+        x = x[:, 0]
+        return QuantDense(self.num_classes, quant=self.ctx.resolve("/heads/head", "nn_linear"),
+                          name="head")(x, mode=mode)
+
+
+def _make_vit(patch, layers, heads, hidden, mlp, image_size=224):
+    def ctor(num_classes: int = 1000, ctx: Optional[QuantCtx] = None, **kw):
+        return VisionTransformer(
+            image_size=kw.pop("image_size", image_size), patch_size=patch,
+            num_layers=layers, num_heads=heads, hidden_dim=hidden, mlp_dim=mlp,
+            num_classes=num_classes, ctx=ctx or QuantCtx.fp32(), **kw,
+        )
+
+    return ctor
+
+
+vit_b_16 = _make_vit(16, 12, 12, 768, 3072)
+vit_b_32 = _make_vit(32, 12, 12, 768, 3072)
+vit_l_16 = _make_vit(16, 24, 16, 1024, 4096)
+vit_l_32 = _make_vit(32, 24, 16, 1024, 4096)
+vit_h_14 = _make_vit(14, 32, 16, 1280, 5120)

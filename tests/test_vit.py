@@ -1,0 +1,104 @@
+"""ViT + QuantMultiheadAttention: calibrate/quant/pack equivalences."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantize_tpu.deploy import pack_model
+from quantize_tpu.models import MODELS
+from quantize_tpu.models.vit import VisionTransformer
+from quantize_tpu.nn.attention import QuantMultiheadAttention
+from quantize_tpu.nn.intercept import QuantCtx
+from quantize_tpu.nn.layers import LayerQuantCfg
+
+W8A8 = {
+    "default": {
+        "weight": {"n_bits": 8, "symmetric": True, "granularity": "channel",
+                   "range": {"name": "minmax"}},
+        "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                       "range": {"name": "minmax"}},
+        "bn_folding": True,
+    }
+}
+
+
+def mha_cfg():
+    return LayerQuantCfg(
+        weight={"n_bits": 8, "symmetric": True, "granularity": "channel",
+                "range": {"name": "minmax"}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+
+
+def calibrated(model, x, **kw):
+    variables = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate", **kw))
+    variables.pop("taps", None)
+    _, upd = model.apply(variables, x, mode="calibrate", mutable=["qobs", "qparams"], **kw)
+    return {**variables, **upd}
+
+
+def test_mha_quant_close_to_fp32():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+    m = QuantMultiheadAttention(32, 4, quant=mha_cfg())
+    v = calibrated(m, x)
+    y_fp = m.apply(v, x, mode="fp32")
+    y_q = m.apply(v, x, mode="quant")
+    rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+    assert y_q.shape == (2, 10, 32) and rel < 0.1
+
+
+def test_mha_out_proj_forced_mse():
+    """The out-projection weight estimator is forced to MSE (reference
+    quantmultiheadattention.py:112-113)."""
+    from quantize_tpu.nn.attention import _proj_cfg
+
+    cfg = _proj_cfg(mha_cfg(), force_mse=True, disable_act=True)
+    assert dict(dict(cfg.weight)["range"])["name"] == "mse"
+    assert dict(cfg.activation)["n_bits"] == 32
+
+
+def test_mha_causal_mask():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 6, 16)).astype(np.float32))
+    m = QuantMultiheadAttention(16, 2, quant=mha_cfg())
+    v = calibrated(m, x)
+    mask = jnp.triu(jnp.full((6, 6), -jnp.inf), k=1)
+    y = m.apply(v, x, mode="quant", mask=mask)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_tiny_vit_pipeline():
+    model = VisionTransformer(
+        image_size=32, patch_size=8, num_layers=2, num_heads=2,
+        hidden_dim=32, mlp_dim=64, num_classes=5, ctx=QuantCtx(W8A8),
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    v = calibrated(model, x)
+    y_fp = model.apply(v, x, mode="fp32")
+    y_q = model.apply(v, x, mode="quant")
+    assert y_q.shape == (2, 5)
+    rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+    assert rel < 0.5  # random weights; sanity only
+
+
+def test_tiny_vit_packed_matches_sim():
+    model = VisionTransformer(
+        image_size=32, patch_size=8, num_layers=1, num_heads=2,
+        hidden_dim=32, mlp_dim=64, num_classes=5, ctx=QuantCtx(W8A8),
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    v = calibrated(model, x)
+    y_sim = model.apply(v, x, mode="quant")
+    deploy = pack_model(model, v, x)
+    y_packed = model.apply(deploy, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=2e-2, atol=2e-2)
+
+
+def test_vit_b16_builds():
+    model = MODELS.build("vit_b_16", num_classes=10)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(variables, x).shape == (1, 10)
