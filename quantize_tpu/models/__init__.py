@@ -14,6 +14,7 @@ from ..nn.intercept import QuantCtx
 from ..utils.config import Config
 from ..utils.registry import Registry
 from . import mobilenet, resnet, vit
+from .clip import CLIP_MODELS
 from .testnet import TestCNN
 
 MODELS = Registry("models")
@@ -42,6 +43,7 @@ MODELS.register_dict({
         num_classes=num_classes, ctx=ctx or QuantCtx.fp32(), **kw
     ),
 })
+MODELS.register_dict(CLIP_MODELS)
 
 
 def build_model(cfg_model: Config, ctx: Optional[QuantCtx] = None):
