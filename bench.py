@@ -11,9 +11,12 @@ forward is the honest baseline).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 
 def _build(batch: int, size: int):
@@ -60,7 +63,9 @@ def _time(fn, x, iters: int, warmup: int = 2) -> float:
 def main() -> None:
     import jax
 
-    batch, size, iters = 128, 224, 10
+    batch = int(os.environ.get("BENCH_BATCH", 128))
+    size = int(os.environ.get("BENCH_SIZE", 224))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
     model, variables, deploy, x = _build(batch, size)
 
     packed_fn = jax.jit(lambda img: model.apply(deploy, img, mode="packed"))

@@ -13,7 +13,7 @@ from typing import Optional
 from ..nn.intercept import QuantCtx
 from ..utils.config import Config
 from ..utils.registry import Registry
-from . import mobilenet, resnet, vit
+from . import mobilenet, resnet, vit, wideresnet
 from .clip import CLIP_MODELS
 from .testnet import TestCNN
 
@@ -35,6 +35,9 @@ MODELS.register_dict({
     "vit_l_16": vit.vit_l_16,
     "vit_l_32": vit.vit_l_32,
     "vit_h_14": vit.vit_h_14,
+    "wideresnet28": wideresnet.wideresnet28,
+    "wideresnet40": wideresnet.wideresnet40,
+    "rb_wrn-28-10": wideresnet.rb_wrn_28_10,
     "mobilenet_v1": mobilenet.mobilenet_v1,
     "mobilenet_v2": mobilenet.mobilenet_v2,
     "mobilenet_v3_large": mobilenet.mobilenet_v3_large,

@@ -75,3 +75,16 @@ def test_testcnn_quant_pipeline():
     variables = {**variables, **upd}
     y = model.apply(variables, x, mode="quant")
     assert y.shape == (4, 4) and np.isfinite(np.asarray(y)).all()
+
+
+def test_wideresnet_quant_forward():
+    model = MODELS.build("wideresnet28", num_classes=10, ctx=QuantCtx(W8A8), widen_factor=2)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    variables.pop("taps", None)
+    # pre-activation WRN keeps its bn1 BatchNorms even with bn_folding on
+    assert "batch_stats" in variables
+    _, upd = model.apply(variables, x, mode="calibrate", mutable=["qobs", "qparams"])
+    variables = {**variables, **upd}
+    y = model.apply(variables, x, mode="quant")
+    assert y.shape == (2, 10) and np.isfinite(np.asarray(y)).all()
