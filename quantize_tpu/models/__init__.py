@@ -49,9 +49,20 @@ MODELS.register_dict({
 MODELS.register_dict(CLIP_MODELS)
 
 
+_RESERVED_MODEL_KEYS = {
+    "name", "num_classes", "classnames", "prompts", "checkpoint", "pretrained",
+}
+
+
 def build_model(cfg_model: Config, ctx: Optional[QuantCtx] = None):
-    """Build a model from ``cfg.model`` (uses ``name`` + ``num_classes``)."""
-    name = cfg_model.name if hasattr(cfg_model, "name") else cfg_model["name"]
-    kwargs = {}
-    num_classes = getattr(cfg_model, "num_classes", None) or 1000
+    """Build a model from ``cfg.model``: ``name`` + ``num_classes`` plus any
+    extra keys passed through to the constructor (e.g. ``widen_factor``,
+    ``config_overrides``)."""
+    if isinstance(cfg_model, Config):
+        d = cfg_model.to_dict()
+    else:
+        d = dict(cfg_model)
+    name = d["name"]
+    num_classes = d.get("num_classes") or 1000
+    kwargs = {k: v for k, v in d.items() if k not in _RESERVED_MODEL_KEYS}
     return MODELS.build(name, num_classes=num_classes, ctx=ctx, **kwargs)

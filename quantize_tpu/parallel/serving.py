@@ -1,0 +1,138 @@
+"""Continuous-batching inference engine.
+
+North-star capability with no reference counterpart (the reference is a
+single-GPU batch-eval script): an asynchronous image-stream server that
+
+* accepts single-image requests from any number of producers,
+* coalesces them into fixed-shape batches (padding the tail) so the jitted
+  packed-inference graph never recompiles,
+* dispatches asynchronously (JAX's async dispatch overlaps host batching
+  with device compute), and
+* shards each batch over the mesh's ``data`` axis when a mesh is given —
+  the per-host feeder pattern for multi-host serving.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InferenceEngine:
+    """Continuous batching over a jittable ``fn(variables, batch) -> out``."""
+
+    def __init__(
+        self,
+        model,
+        variables: Dict[str, Any],
+        batch_size: int = 32,
+        mode: str = "packed",
+        mesh=None,
+        max_wait_ms: float = 2.0,
+    ):
+        self.model = model
+        self.variables = variables
+        self.batch_size = int(batch_size)
+        self.mode = mode
+        self.mesh = mesh
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: "queue.Queue[tuple[np.ndarray, Future]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._forward = jax.jit(
+            lambda v, x: model.apply(v, x, mode=mode)
+        )
+        self.n_processed = 0
+        self.n_batches = 0
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self) -> "InferenceEngine":
+        if self._thread is None:
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def __enter__(self) -> "InferenceEngine":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- client API -------------------------------------------------------
+    def submit(self, image: np.ndarray) -> Future:
+        fut: Future = Future()
+        self._queue.put((np.asarray(image, np.float32), fut))
+        return fut
+
+    def submit_many(self, images: Sequence[np.ndarray]) -> List[Future]:
+        return [self.submit(im) for im in images]
+
+    def stats(self) -> Dict[str, float]:
+        return {
+            "processed": self.n_processed,
+            "batches": self.n_batches,
+            "mean_batch_fill": self.n_processed / max(self.n_batches, 1) / self.batch_size,
+            "queue_depth": self._queue.qsize(),
+        }
+
+    # -- server loop ------------------------------------------------------
+    def _collect(self) -> List[tuple]:
+        """Block for the first request, then drain up to batch_size within
+        the batching window."""
+        items: List[tuple] = []
+        try:
+            items.append(self._queue.get(timeout=0.05))
+        except queue.Empty:
+            return items
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(items) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self) -> None:
+        while not self._stop.is_set() or not self._queue.empty():
+            items = self._collect()
+            if not items:
+                continue
+            n = len(items)
+            imgs = np.stack([im for im, _ in items])
+            if n < self.batch_size:
+                pad = np.zeros((self.batch_size - n, *imgs.shape[1:]), imgs.dtype)
+                imgs = np.concatenate([imgs, pad])
+            x = jnp.asarray(imgs)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                x = jax.device_put(
+                    x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
+                )
+            try:
+                out = self._forward(self.variables, x)
+                out_np = np.asarray(out)
+                for i, (_, fut) in enumerate(items):
+                    fut.set_result(out_np[i])
+            except Exception as e:  # propagate failures to waiters
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+            self.n_processed += n
+            self.n_batches += 1

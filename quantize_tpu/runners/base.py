@@ -74,6 +74,23 @@ class BasicRunner:
         variables = dict(self.model.init(jax.random.PRNGKey(seed), x, mode="calibrate"))
         variables.pop("taps", None)
         self.variables = variables
+        self._maybe_precompute_zeroshot()
+
+    def _maybe_precompute_zeroshot(self) -> None:
+        """CLIP zero-shot weights: one-time text-tower pass over class
+        prompts (reference ``CLIPModel.zeroshot_classifier``,
+        ``modelzoo/clip/__init__.py:38-51``)."""
+        from ..models.clip import CLIPZeroShot, build_zeroshot
+
+        if not isinstance(self.model, CLIPZeroShot):
+            return
+        classnames = list(self.cfg.model.classnames or [])
+        if not classnames:
+            classnames = [str(i) for i in range(self.model.num_classes)]
+        prompts = list(self.cfg.model.prompts or [])
+        self.logger.info(f"precomputing CLIP zero-shot weights for {len(classnames)} classes")
+        self.variables = build_zeroshot(self.model, self.variables, classnames,
+                                        prompts or None)
 
     def merge_updates(self, updates: Dict[str, Any]) -> None:
         merged = dict(self.variables)

@@ -81,3 +81,24 @@ def test_adaround_w4_runs_and_beats_nearest(tmp_path):
     cfg.merge_from_dict({"runner": {"beta": "dynamic"}})
     result = execute_runner(cfg)
     assert result is not None and np.isfinite(result["top1"])
+
+
+def test_clip_zeroshot_ptq_runner(tmp_path):
+    """CLIP PTQ: calibrate the vision tower on images, zero-shot eval."""
+    cfg = base_cfg(tmp_path)
+    cfg.merge_from_dict({
+        "model": {
+            "name": "clip_vit-b16",
+            "config_overrides": {
+                "embed_dim": 32, "vision_layers": 2, "vision_width": 64,
+                "vision_patch_size": 8, "context_length": 16, "vocab_size": 64,
+                "transformer_width": 32, "transformer_heads": 2,
+                "transformer_layers": 2,
+            },
+        },
+        "train_dataset": {"image_size": 32},
+        "val_dataset": {"image_size": 32},
+        "test_dataset": {"image_size": 32},
+    })
+    result = execute_runner(cfg)
+    assert result is not None and np.isfinite(result["top1"])

@@ -1,0 +1,70 @@
+"""Continuous-batching inference engine tests (CPU, packed testcnn)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantize_tpu.deploy import pack_model
+from quantize_tpu.models import MODELS
+from quantize_tpu.nn.intercept import QuantCtx
+from quantize_tpu.parallel import make_mesh
+from quantize_tpu.parallel.serving import InferenceEngine
+
+W8A8 = {
+    "default": {
+        "weight": {"n_bits": 8, "symmetric": True, "granularity": "channel",
+                   "range": {"name": "minmax"}},
+        "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                       "range": {"name": "minmax"}},
+        "bn_folding": True,
+    }
+}
+
+
+def _packed_testcnn():
+    model = MODELS.build("testcnn", num_classes=4, ctx=QuantCtx(W8A8))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    variables = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    variables.pop("taps", None)
+    _, upd = model.apply(variables, x, mode="calibrate", mutable=["qobs", "qparams"])
+    variables = {**variables, **upd}
+    deploy = pack_model(model, variables, x)
+    return model, variables, deploy
+
+
+def test_serving_matches_direct_forward():
+    model, _, deploy = _packed_testcnn()
+    rng = np.random.default_rng(1)
+    images = [rng.normal(size=(16, 16, 3)).astype(np.float32) for _ in range(11)]
+
+    with InferenceEngine(model, deploy, batch_size=4, max_wait_ms=5.0) as eng:
+        futs = eng.submit_many(images)
+        results = [f.result(timeout=60) for f in futs]
+
+    direct = np.asarray(model.apply(deploy, jnp.asarray(np.stack(images)), mode="packed"))
+    np.testing.assert_allclose(np.stack(results), direct, rtol=1e-4, atol=1e-5)
+    stats = eng.stats()
+    assert stats["processed"] == 11
+
+
+def test_serving_batches_coalesce():
+    model, _, deploy = _packed_testcnn()
+    rng = np.random.default_rng(2)
+    images = [rng.normal(size=(16, 16, 3)).astype(np.float32) for _ in range(32)]
+    with InferenceEngine(model, deploy, batch_size=8, max_wait_ms=50.0) as eng:
+        futs = eng.submit_many(images)
+        for f in futs:
+            f.result(timeout=60)
+    # 32 requests at batch 8 should coalesce into ~4 full batches
+    assert eng.n_batches <= 8
+
+
+def test_serving_on_mesh():
+    model, _, deploy = _packed_testcnn()
+    mesh = make_mesh(dp=4, tp=1)
+    rng = np.random.default_rng(3)
+    images = [rng.normal(size=(16, 16, 3)).astype(np.float32) for _ in range(8)]
+    with InferenceEngine(model, deploy, batch_size=8, mesh=mesh, max_wait_ms=50.0) as eng:
+        futs = eng.submit_many(images)
+        results = [f.result(timeout=60) for f in futs]
+    assert all(r.shape == (4,) for r in results)
