@@ -7,6 +7,10 @@ Prints ONE JSON line:
 model's FP32 forward on the same chip (the reference publishes no throughput
 numbers — its packed fast path was disabled, SURVEY.md §6 — so the FP32
 forward is the honest baseline).
+
+Calibration + packing run on the local CPU backend (fast local compiles);
+only the two benched forwards compile for the TPU. Tunables via env:
+BENCH_BATCH / BENCH_SIZE / BENCH_ITERS / BENCH_BASELINE=0.
 """
 from __future__ import annotations
 
@@ -19,7 +23,8 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 
-def _build(batch: int, size: int):
+def _build_on_cpu(size: int):
+    """Calibrate + pack ResNet-50 W8A8 entirely on the CPU backend."""
     import jax
     import jax.numpy as jnp
 
@@ -37,15 +42,19 @@ def _build(batch: int, size: int):
         }
     }
     model = MODELS.build("resnet50", num_classes=1000, ctx=QuantCtx(cfg))
-    rng = np.random.default_rng(0)
-    x_small = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32))
-    variables = dict(model.init(jax.random.PRNGKey(0), x_small, mode="calibrate"))
-    variables.pop("taps", None)
-    _, upd = model.apply(variables, x_small, mode="calibrate", mutable=["qobs", "qparams"])
-    variables = {**variables, **upd}
-    deploy = pack_model(model, variables, x_small)
-    x = jnp.asarray(rng.normal(size=(batch, size, size, 3)).astype(np.float32))
-    return model, variables, deploy, x
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(0)
+        x_small = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32))
+        variables = dict(model.init(jax.random.PRNGKey(0), x_small, mode="calibrate"))
+        variables.pop("taps", None)
+        _, upd = model.apply(variables, x_small, mode="calibrate",
+                             mutable=["qobs", "qparams"])
+        variables = {**variables, **upd}
+        deploy = pack_model(model, variables, x_small)
+        deploy = jax.device_get(deploy)
+        variables = jax.device_get(variables)
+    return model, variables, deploy
 
 
 def _time(fn, x, iters: int, warmup: int = 2) -> float:
@@ -66,21 +75,35 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 128))
     size = int(os.environ.get("BENCH_SIZE", 224))
     iters = int(os.environ.get("BENCH_ITERS", 10))
-    model, variables, deploy, x = _build(batch, size)
+    run_baseline = os.environ.get("BENCH_BASELINE", "1") != "0"
 
-    packed_fn = jax.jit(lambda img: model.apply(deploy, img, mode="packed"))
-    fp32_fn = jax.jit(lambda img: model.apply(variables, img, mode="fp32"))
+    model, variables, deploy = _build_on_cpu(size)
 
+    dev = jax.devices()[0]
+    deploy_dev = jax.device_put(deploy, dev)
+    x = jax.device_put(
+        np.random.default_rng(1).normal(size=(batch, size, size, 3)).astype(np.float32),
+        dev,
+    )
+
+    packed_fn = jax.jit(lambda img: model.apply(deploy_dev, img, mode="packed"))
     t_packed = _time(packed_fn, x, iters)
-    t_fp32 = _time(fp32_fn, x, iters)
-
     img_s = batch / t_packed
-    base_img_s = batch / t_fp32
+
+    vs = 1.0
+    if run_baseline:
+        variables_dev = jax.device_put(
+            {"params": variables["params"], "qparams": variables["qparams"]}, dev
+        )
+        fp32_fn = jax.jit(lambda img: model.apply(variables_dev, img, mode="fp32"))
+        t_fp32 = _time(fp32_fn, x, iters)
+        vs = round(t_fp32 / t_packed, 3)
+
     print(json.dumps({
         "metric": "resnet50_w8a8_packed_inference",
         "value": round(img_s, 1),
         "unit": "img/s/chip",
-        "vs_baseline": round(img_s / base_img_s, 3),
+        "vs_baseline": vs,
     }))
 
 

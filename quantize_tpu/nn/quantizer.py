@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.adaround import adaround_round, init_v
-from ..quant.fakequant import fake_quant, quantize_core
+from ..quant.fakequant import dequantize_core, fake_quant, quantize_core
 from ..quant.observers import build_observer
 from ..quant.qspec import QuantSpec, broadcast_to_axis
 
@@ -44,7 +44,21 @@ class Quantizer(nn.Module):
     spec: QuantSpec
     awq_in_axis: int = -2  # in-channel axis of the tensor (for AWQ pre-scaling)
 
+    def _awq_group(self) -> int:
+        """AWQ q_group_size (0 = per-out-channel, reference ``awq.py:42``)."""
+        if self.spec.range_name == "awq":
+            g = dict(self.spec.range_kwargs).get("q_group_size", -1)
+            if g and int(g) > 0:
+                return int(g)
+        return 0
+
     def _n_channels(self, x: jnp.ndarray) -> int:
+        g = self._awq_group()
+        if g:
+            size = 1
+            for d in x.shape:
+                size *= d
+            return size // g
         return self.spec.n_channels(x.shape)
 
     def _qparams(self, x: jnp.ndarray):
@@ -155,6 +169,17 @@ class Quantizer(nn.Module):
             raise ValueError(f"unknown quantizer mode {mode!r}")
 
         ss = self._static_scale(x)
+        g = self._awq_group()
+        if awq_scale is not None and g:
+            # grouped AWQ simulation: scale by awq, quantize per (out, in/g)
+            # group row (reference quantizer.py:209-220 with q_group_size)
+            aws_b = broadcast_to_axis(awq_scale, x.ndim, self.awq_in_axis)
+            xs = x * aws_b
+            wg = xs.T.reshape(-1, g)
+            q = quantize_core(wg, s, z, spec.qmin, spec.qmax, channel_axis=0,
+                              round_fn=round_fn)
+            deq = dequantize_core(q, s, z, channel_axis=0)
+            return deq.reshape(xs.shape[1], xs.shape[0]).T / aws_b
         return fake_quant(
             x, s, z, spec.qmin, spec.qmax,
             channel_axis=spec.channel_axis,

@@ -22,6 +22,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.registry import Registry
 from .fakequant import fake_quant
@@ -331,14 +332,19 @@ class AWQ(MinMax):
             "num_x": jnp.where(seen, tot, num),
         }
 
-    def _group_fold(self, w: jnp.ndarray) -> jnp.ndarray:
-        """Reshape in-channel axis into groups for per-group range estimation.
+    def _group_view(self, w: jnp.ndarray) -> jnp.ndarray:
+        """(in, out) -> (out*in/g, g): consecutive in-dims of one out row
+        share a group (the reference's ``_w.reshape(-1, g)`` on (out, in)
+        weights, ``awq.py:119-121``)."""
+        g = self.q_group_size
+        assert w.ndim == 2, "q_group_size requires 2-D (in, out) weights"
+        assert w.shape[0] % g == 0, (
+            "in-features must be divisible by q_group_size"
+        )
+        return w.T.reshape(-1, g)
 
-        Weight layout here is (..., in, out) reduced per out-channel; grouping
-        splits ``in`` so each (group, out) pair gets its own range. Deferred:
-        reference asserts divisibility (``awq.py:119-121``).
-        """
-        raise NotImplementedError("q_group_size > 0 not yet supported")
+    def _group_unview(self, wg: jnp.ndarray, shape) -> jnp.ndarray:
+        return wg.reshape(shape[1], shape[0]).T
 
     def __call__(
         self,
@@ -356,13 +362,13 @@ class AWQ(MinMax):
         """
         assert self.spec.flag == "weight", "AWQ only supports weight quantization"
         assert pre_act is not None and apply_fn is not None
-        if self.q_group_size > 0:
-            self._group_fold(w)
         spec = self.spec
 
         org_out = apply_fn(w, pre_act)
         state = self.update_mean(state, pre_act)
         x_mean = state["x_mean"]
+
+        grouped = self.q_group_size > 0
 
         def body(carry, r):
             best_loss, best = carry
@@ -371,9 +377,21 @@ class AWQ(MinMax):
             aws = aws / jnp.sqrt(jnp.max(aws) * jnp.min(aws))
             # scale along in-channel axis (-2 of the weight)
             w_s = w * jnp.expand_dims(aws, -1)
-            xmin, xmax = self.batch_range(w_s)
-            s, z = self.quantize(xmin, xmax)
-            w_sim = fake_quant(w_s, s, z, spec.qmin, spec.qmax, spec.channel_axis)
+            if grouped:
+                wg = self._group_view(w_s)
+                if spec.symmetric:
+                    xmin = jnp.zeros((wg.shape[0],), jnp.float32)
+                    xmax = jnp.max(jnp.abs(wg), axis=1)
+                else:
+                    xmin = jnp.min(wg, axis=1)
+                    xmax = jnp.max(wg, axis=1)
+                s, z = self.quantize(xmin, xmax)
+                sim = fake_quant(wg, s, z, spec.qmin, spec.qmax, channel_axis=0)
+                w_sim = self._group_unview(sim, w_s.shape)
+            else:
+                xmin, xmax = self.batch_range(w_s)
+                s, z = self.quantize(xmin, xmax)
+                w_sim = fake_quant(w_s, s, z, spec.qmin, spec.qmax, spec.channel_axis)
             w_sim = w_sim / jnp.expand_dims(aws, -1)
             out = apply_fn(w_sim, pre_act)
             loss = jnp.mean((org_out - out).astype(jnp.float32) ** 2)
@@ -383,12 +401,15 @@ class AWQ(MinMax):
             )
             return (jnp.where(better, loss, best_loss), new_best), None
 
-        c_out = w.shape[spec.channel_axis]
+        if grouped:
+            n_scales = int(np.prod(w.shape)) // self.q_group_size
+        else:
+            n_scales = w.shape[spec.channel_axis]
         init = (
             jnp.asarray(jnp.inf, jnp.float32),
             (
-                jnp.ones((c_out,), jnp.float32),
-                jnp.zeros((c_out,), jnp.float32),
+                jnp.ones((n_scales,), jnp.float32),
+                jnp.zeros((n_scales,), jnp.float32),
                 jnp.ones((x_mean.shape[0],), jnp.float32),
             ),
         )

@@ -164,3 +164,19 @@ def test_quant_relu():
     variables = {**variables, **upd}
     y = model.apply(variables, x, mode="quant")
     assert float(jnp.min(y)) >= 0.0
+
+
+def test_awq_grouped_layer_quant():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    cfg = LayerQuantCfg(
+        weight={"n_bits": 4, "symmetric": True, "granularity": "channel",
+                "range": {"name": "awq", "grid": 6, "q_group_size": 8}},
+        activation={"n_bits": 32},
+    )
+    model = QuantDense(features=4, quant=cfg)
+    variables = calibrated_apply(model, x)
+    scale = variables["qparams"]["w_quantizer"]["scale"]
+    assert scale.shape == (32 * 4 // 8,)
+    y = model.apply(variables, x, mode="quant")
+    assert np.isfinite(np.asarray(y)).all()

@@ -175,3 +175,37 @@ def test_build_observer_from_spec():
     spec = wspec(range={"name": "mse", "grid": 10})
     obs = build_observer(spec)
     assert isinstance(obs, MSE) and obs.grid == 10
+
+
+def test_awq_grouped_scales():
+    """q_group_size splits each out-channel's in-dims into groups with their
+    own scales (reference awq.py:119-121); grouped should fit no worse than
+    per-out-channel."""
+    rng = np.random.default_rng(9)
+    cin, cout, n, g = 32, 8, 16, 8
+    w = jnp.asarray(rng.normal(size=(cin, cout)).astype(np.float32))
+    act = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    spec = QuantSpec(n_bits=4, symmetric=True, signed=True, granularity="channel",
+                     flag="weight", channel_axis=-1)
+
+    def apply_fn(weight, x):
+        return x @ weight
+
+    awq_g = AWQ(spec, grid=8, q_group_size=g)
+    st = awq_g.init_state(cin)
+    st, s, z, aws = awq_g(st, w, pre_act=act, apply_fn=apply_fn)
+    assert s.shape == (cin * cout // g,)
+
+    awq_c = AWQ(spec, grid=8)
+    st2 = awq_c.init_state(cin)
+    _, s2, z2, aws2 = awq_c(st2, w, pre_act=act, apply_fn=apply_fn)
+
+    ref_out = act @ w
+    # grouped sim
+    wg = (w * aws[:, None]).T.reshape(-1, g)
+    sim = fake_quant(wg, s, z, spec.qmin, spec.qmax, channel_axis=0)
+    w_g = sim.reshape(cout, cin).T / aws[:, None]
+    err_g = float(jnp.mean((ref_out - act @ w_g) ** 2))
+    w_c = fake_quant(w, s2, z2, spec.qmin, spec.qmax, -1, awq_scale=aws2, awq_axis=-2)
+    err_c = float(jnp.mean((ref_out - act @ w_c) ** 2))
+    assert err_g <= err_c * 1.01
