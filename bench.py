@@ -58,14 +58,18 @@ def _build_on_cpu(size: int):
 
 
 def _time(fn, x, iters: int, warmup: int = 2) -> float:
+    """Time over DISTINCT inputs (defeats any result caching), sync at end."""
     import jax
+    import jax.numpy as jnp
 
+    xs = [x + jnp.float32(i) * 1e-6 for i in range(iters)]
+    for x_ in xs:
+        x_.block_until_ready()
     for _ in range(warmup):
-        jax.block_until_ready(fn(x))
+        jax.block_until_ready(fn(xs[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    jax.block_until_ready(out)
+    outs = [fn(x_) for x_ in xs]
+    jax.block_until_ready(outs[-1])
     return (time.perf_counter() - t0) / iters
 
 
@@ -86,8 +90,11 @@ def main() -> None:
         dev,
     )
 
-    packed_fn = jax.jit(lambda img: model.apply(deploy_dev, img, mode="packed"))
-    t_packed = _time(packed_fn, x, iters)
+    # NOTE: variables are jit *arguments*, not closure constants — baking
+    # them in makes XLA constant-fold the packed graph's weight-dependent
+    # subexpressions at compile time (minutes-long compiles).
+    packed_fn = jax.jit(lambda v, img: model.apply(v, img, mode="packed"))
+    t_packed = _time(lambda img: packed_fn(deploy_dev, img), x, iters)
     img_s = batch / t_packed
 
     vs = 1.0
@@ -95,8 +102,8 @@ def main() -> None:
         variables_dev = jax.device_put(
             {"params": variables["params"], "qparams": variables["qparams"]}, dev
         )
-        fp32_fn = jax.jit(lambda img: model.apply(variables_dev, img, mode="fp32"))
-        t_fp32 = _time(fp32_fn, x, iters)
+        fp32_fn = jax.jit(lambda v, img: model.apply(v, img, mode="fp32"))
+        t_fp32 = _time(lambda img: fp32_fn(variables_dev, img), x, iters)
         vs = round(t_fp32 / t_packed, 3)
 
     print(json.dumps({
