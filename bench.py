@@ -57,19 +57,21 @@ def _build_on_cpu(size: int):
     return model, variables, deploy
 
 
-def _time(fn, x, iters: int, warmup: int = 2) -> float:
-    """Time over DISTINCT inputs (defeats any result caching), sync at end."""
+def _time(step, v, x, iters: int, warmup: int = 2) -> float:
+    """Chained timing: ``step(v, x) -> (next_x, out)`` — each iteration's
+    input depends on the previous output, forcing serial execution on one
+    chip (independent dispatches can be overlapped/elided by the execution
+    service and overstate throughput)."""
     import jax
-    import jax.numpy as jnp
 
-    xs = [x + jnp.float32(i) * 1e-6 for i in range(iters)]
-    for x_ in xs:
-        x_.block_until_ready()
+    cur = x
     for _ in range(warmup):
-        jax.block_until_ready(fn(xs[0]))
+        cur, out = step(v, cur)
+    jax.block_until_ready(cur)
     t0 = time.perf_counter()
-    outs = [fn(x_) for x_ in xs]
-    jax.block_until_ready(outs[-1])
+    for _ in range(iters):
+        cur, out = step(v, cur)
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -92,9 +94,21 @@ def main() -> None:
 
     # NOTE: variables are jit *arguments*, not closure constants — baking
     # them in makes XLA constant-fold the packed graph's weight-dependent
-    # subexpressions at compile time (minutes-long compiles).
-    packed_fn = jax.jit(lambda v, img: model.apply(v, img, mode="packed"))
-    t_packed = _time(lambda img: packed_fn(deploy_dev, img), x, iters)
+    # subexpressions at compile time (minutes-long compiles). The step fn
+    # returns a perturbed next input so chained calls are serialized inside
+    # one dispatch each.
+    import jax.numpy as jnp
+
+    def make_step(mode):
+        @jax.jit
+        def step(v, img):
+            out = model.apply(v, img, mode=mode)
+            return img + 1e-12 * jnp.mean(out), out
+
+        return step
+
+    packed_step = make_step("packed")
+    t_packed = _time(packed_step, deploy_dev, x, iters)
     img_s = batch / t_packed
 
     vs = 1.0
@@ -102,8 +116,8 @@ def main() -> None:
         variables_dev = jax.device_put(
             {"params": variables["params"], "qparams": variables["qparams"]}, dev
         )
-        fp32_fn = jax.jit(lambda v, img: model.apply(v, img, mode="fp32"))
-        t_fp32 = _time(lambda img: fp32_fn(variables_dev, img), x, iters)
+        fp32_step = make_step("fp32")
+        t_fp32 = _time(fp32_step, variables_dev, x, iters)
         vs = round(t_fp32 / t_packed, 3)
 
     print(json.dumps({
