@@ -58,20 +58,31 @@ def _build_on_cpu(size: int):
 
 
 def _time(step, v, x, iters: int, warmup: int = 2) -> float:
-    """Chained timing: ``step(v, x) -> (next_x, out)`` — each iteration's
-    input depends on the previous output, forcing serial execution on one
-    chip (independent dispatches can be overlapped/elided by the execution
-    service and overstate throughput)."""
-    import jax
+    """Device-side chained timing.
 
-    cur = x
+    The loop lives INSIDE one jit (lax.scan) with a data dependency between
+    iterations. On this remote-execution environment that is the only honest
+    scheme: per-call timing is dominated by arg/result transfer over the
+    tunnel, independent identical calls are served from a result cache, and
+    end-of-chain-only syncs under-report. One dispatch, one sync, per-step
+    compute amortized over ``iters`` serialized model applies.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(v, x0):
+        def body(c, _):
+            nxt, out = step(v, c)
+            return nxt, jnp.sum(out[0])
+        _, outs = jax.lax.scan(body, x0, None, length=iters)
+        return outs
+
     for _ in range(warmup):
-        cur, out = step(v, cur)
-    jax.block_until_ready(cur)
+        jax.block_until_ready(loop(v, x))
+        x = x + 1e-6  # fresh input each run: defeat result caching
     t0 = time.perf_counter()
-    for _ in range(iters):
-        cur, out = step(v, cur)
-    jax.block_until_ready(out)
+    jax.block_until_ready(loop(v, x + 1e-6))
     return (time.perf_counter() - t0) / iters
 
 
