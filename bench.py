@@ -58,31 +58,27 @@ def _build_on_cpu(size: int):
 
 
 def _time(step, v, x, iters: int, warmup: int = 2) -> float:
-    """Device-side chained timing.
+    """Per-call chained timing with a sync every iteration.
 
-    The loop lives INSIDE one jit (lax.scan) with a data dependency between
-    iterations. On this remote-execution environment that is the only honest
-    scheme: per-call timing is dominated by arg/result transfer over the
-    tunnel, independent identical calls are served from a result cache, and
-    end-of-chain-only syncs under-report. One dispatch, one sync, per-step
-    compute amortized over ``iters`` serialized model applies.
+    Measurement on this remote-execution environment is subtle: identical
+    repeated calls are served from a result cache, end-of-chain-only syncs
+    under-report, and in-jit scan loops of large model graphs report
+    unphysical times. The only scheme that consistently stays within
+    physical (roofline) bounds is: distinct chained inputs, one dispatch per
+    iteration, block_until_ready each time. This includes the host<->device
+    transfer of the batch, so the reported throughput is a conservative
+    end-to-end number.
     """
     import jax
-    import jax.numpy as jnp
 
-    @jax.jit
-    def loop(v, x0):
-        def body(c, _):
-            nxt, out = step(v, c)
-            return nxt, jnp.sum(out[0])
-        _, outs = jax.lax.scan(body, x0, None, length=iters)
-        return outs
-
+    cur = x
     for _ in range(warmup):
-        jax.block_until_ready(loop(v, x))
-        x = x + 1e-6  # fresh input each run: defeat result caching
+        cur, out = step(v, cur)
+        jax.block_until_ready(out)
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(v, x + 1e-6))
+    for _ in range(iters):
+        cur, out = step(v, cur)
+        jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -91,7 +87,7 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", 128))
     size = int(os.environ.get("BENCH_SIZE", 224))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 5))
     run_baseline = os.environ.get("BENCH_BASELINE", "1") != "0"
 
     model, variables, deploy = _build_on_cpu(size)
