@@ -110,7 +110,9 @@ def main() -> None:
         @jax.jit
         def step(v, img):
             out = model.apply(v, img, mode=mode)
-            return img + 1e-12 * jnp.mean(out), out
+            # bounded, REPRESENTABLE perturbation (1e-12 underflows in f32
+            # and leaves the input bitwise identical -> result-cache hits)
+            return img + 1e-3 * jnp.tanh(jnp.mean(out)), out
 
         return step
 

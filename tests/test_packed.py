@@ -147,3 +147,37 @@ def test_w4_model_packs_to_quarter():
     w4_bytes = count(deploy["packed"], set(_W_KEYS))
     fp32_bytes = count(variables["params"], {"kernel"})
     assert w4_bytes < 0.15 * fp32_bytes
+
+
+def test_depthwise_conv_packed_matches_sim():
+    """Grouped (depthwise) conv through the packed path (MobileNet blocks)."""
+    rng = np.random.default_rng(7)
+    ch = 8
+    x = jnp.asarray(rng.normal(size=(2, 10, 10, ch)).astype(np.float32))
+    model = QuantConv(features=ch, kernel_size=(3, 3), feature_group_count=ch,
+                      quant=cfg_w8a8())
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+    _, upd = model.apply(variables, x, mode="pack", mutable=["packed"])
+    y_packed = model.apply({**variables, **upd}, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=2e-3, atol=2e-3)
+
+
+def test_mobilenet_v2_full_packed():
+    W8A8 = {
+        "default": {
+            "weight": {"n_bits": 8, "symmetric": True, "granularity": "channel",
+                       "range": {"name": "minmax"}},
+            "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                           "range": {"name": "minmax"}},
+            "bn_folding": True,
+        }
+    }
+    model = MODELS.build("mobilenet_v2", num_classes=4, ctx=QuantCtx(W8A8))
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+    deploy = pack_model(model, variables, x)
+    y_packed = model.apply(deploy, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=2e-2, atol=2e-2)
