@@ -69,16 +69,17 @@ def _time(step, v, x, iters: int, warmup: int = 2) -> float:
     transfer of the batch, so the reported throughput is a conservative
     end-to-end number.
     """
-    import jax
+    import jax.numpy as jnp
 
-    cur = x
+    seed = jnp.float32(0.0)
     for _ in range(warmup):
-        cur, out = step(v, cur)
-        jax.block_until_ready(out)
+        seed, out = step(v, x, seed)
+        float(jnp.sum(out))  # hard value fetch: block_until_ready alone does
+        # not guarantee execution completed on this runtime
     t0 = time.perf_counter()
     for _ in range(iters):
-        cur, out = step(v, cur)
-        jax.block_until_ready(out)
+        seed, out = step(v, x, seed)
+        float(jnp.sum(out))
     return (time.perf_counter() - t0) / iters
 
 
@@ -108,11 +109,12 @@ def main() -> None:
 
     def make_step(mode):
         @jax.jit
-        def step(v, img):
+        def step(v, base_img, seed):
+            # distinct input per call from a SCALAR seed (returning a
+            # perturbed full image ships ~77MB back over the tunnel per call)
+            img = base_img + seed
             out = model.apply(v, img, mode=mode)
-            # bounded, REPRESENTABLE perturbation (1e-12 underflows in f32
-            # and leaves the input bitwise identical -> result-cache hits)
-            return img + 1e-3 * jnp.tanh(jnp.mean(out)), out
+            return seed + 1e-3 * jnp.tanh(jnp.mean(out)) + 1e-3, out
 
         return step
 

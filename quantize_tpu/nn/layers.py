@@ -346,10 +346,15 @@ class QuantConv(_QuantLayerBase):
         if fusable:
             a_scale = self.get_variable("packed", "a_scale").reshape(())
             a_zero = self.get_variable("packed", "a_zero").reshape(())
+            corr_a = (
+                self.get_variable("packed", "corr_a")
+                if self.has_variable("packed", "corr_a")
+                else None
+            )
             return quant_conv2d(
                 x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
                 w_int, w_scale, w_zero, bias,
-                w_zero_is_zero=bool(w_spec.symmetric), **conv_kw,
+                w_zero_is_zero=bool(w_spec.symmetric), corr_a=corr_a, **conv_kw,
             )
         xq = self._packed_act(x, a_spec) if a_spec.enabled else x
         return quant_conv2d_wo(xq, w_int, w_scale, w_zero, bias, **conv_kw)
@@ -371,13 +376,20 @@ class QuantConv(_QuantLayerBase):
             else None
         )
         if mode == "pack":
-            w_spec, _ = self._specs(self.quant)
+            w_spec, a_spec = self._specs(self.quant)
 
             def store_weight(pv, q_i8):
                 if self._use_p4c(in_ch, w_spec):
                     pv("w_p4c", pack_int4_pairs(q_i8, axis=2))
                 else:
                     pv("w_int", q_i8)
+                if a_spec.enabled and not a_spec.per_channel:
+                    # pack-time zero-point correction map for this input size
+                    from ..ops.qconv import conv_zero_correction_map
+
+                    pv("corr_a", conv_zero_correction_map(
+                        q_i8, x.shape[1], x.shape[2],
+                        tuple(self.strides), self.padding))
 
             return self._pack(x, kernel, bias, self.quant, self._conv,
                               lambda c: jnp.mean(c, axis=(0, 1)), store_weight)

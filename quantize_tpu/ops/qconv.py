@@ -37,6 +37,24 @@ def _conv(x, w, strides, padding, groups=1, preferred=jnp.float32):
     )
 
 
+def conv_zero_correction_map(
+    w_int: jnp.ndarray,
+    h: int,
+    w_sp: int,
+    strides: Sequence[int] = (1, 1),
+    padding: Padding = "SAME",
+) -> jnp.ndarray:
+    """Precomputable z_a correction map ``conv(mask, Σ_ci w)`` (1,H',W',co).
+
+    Depends only on the packed weight and the input spatial size, so it is
+    computed once at pack time and added (scaled by z_a) in the epilogue —
+    removing one conv per layer from every packed forward.
+    """
+    mask = jnp.ones((1, h, w_sp, 1), jnp.float32)
+    w_ci_sum = jnp.sum(w_int.astype(jnp.float32), axis=2, keepdims=True)
+    return _conv(mask, w_ci_sum, strides, padding)
+
+
 def quant_conv2d(
     x: jnp.ndarray,
     a_scale: jnp.ndarray,
@@ -51,6 +69,7 @@ def quant_conv2d(
     padding: Padding = "SAME",
     groups: int = 1,
     w_zero_is_zero: bool = False,
+    corr_a: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused W8A8 conv2d (per-out-channel weight scales, per-tensor act)."""
     n, h, w_sp, _ = x.shape
@@ -59,14 +78,15 @@ def quant_conv2d(
     acc = _conv(q_a, w_int.astype(jnp.int8), strides, padding, groups,
                 preferred=jnp.int32).astype(jnp.float32)
 
-    # validity-mask conv for the z_a corrections (border-exact)
-    mask = jnp.ones((1, h, w_sp, 1), jnp.float32)
-    w_ci_sum = jnp.sum(w_int.astype(jnp.float32), axis=2, keepdims=True)  # (kh,kw,1,co)
-    corr_a = _conv(mask, w_ci_sum, strides, padding)  # (1,H',W',co)
+    # validity-mask conv for the z_a corrections (border-exact); use the
+    # pack-time precomputed map when its spatial dims match
+    if corr_a is None or corr_a.shape[1:3] != acc.shape[1:3]:
+        corr_a = conv_zero_correction_map(w_int, h, w_sp, strides, padding)
     corrected = acc + z_eff * corr_a
 
     if not w_zero_is_zero:
         kh, kw, ci_g, co = w_int.shape
+        mask = jnp.ones((1, h, w_sp, 1), jnp.float32)
         # Σ_valid q_a per output channel — grouped convs sum only their own
         # input slice, so use a per-group ones kernel
         ones_k = jnp.ones((kh, kw, ci_g, groups), jnp.float32)
