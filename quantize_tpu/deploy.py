@@ -60,6 +60,52 @@ def _strip_packed_params(params: Any, packed: Any) -> Any:
     return out
 
 
+def unpack_model(deploy: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse transform: deploy variables -> simulation-style variables.
+
+    Dequantizes every packed integer weight back to float kernels (the
+    reference's load-time ``tunpack`` path, ``quantconv2d.py:218-235``) so a
+    packed checkpoint can resume fake-quant evaluation or fine-tuning.
+    """
+    from .ops.pallas.qmatmul import unpack_int4_splithalf
+    from .quant.pack import unpack_int4_pairs
+
+    params = _deepcopy(deploy.get("params", {}))
+
+    def walk(packed_node: Dict[str, Any], params_node: Dict[str, Any]) -> None:
+        for k, v in packed_node.items():
+            if not isinstance(v, dict):
+                continue
+            if any(w in v for w in _W_KEYS):
+                if "w_p4" in v:
+                    w_int = unpack_int4_splithalf(jnp.asarray(v["w_p4"]))
+                elif "w_p4c" in v:
+                    w_int = unpack_int4_pairs(jnp.asarray(v["w_p4c"]), axis=2)
+                else:
+                    w_int = jnp.asarray(v["w_int"])
+                scale = jnp.asarray(v["w_scale"])
+                zero = jnp.asarray(v["w_zero"])
+                kernel = (w_int.astype(jnp.float32) + zero) * scale
+                node = params_node.setdefault(k, {})
+                node["kernel"] = kernel
+                node["bias"] = jnp.asarray(v["bias"])
+            else:
+                walk(v, params_node.setdefault(k, {}))
+
+    walk(deploy.get("packed", {}), params)
+    out = {"params": params}
+    for col in ("qparams", "batch_stats"):
+        if col in deploy:
+            out[col] = deploy[col]
+    return out
+
+
+def _deepcopy(tree: Any) -> Any:
+    if isinstance(tree, dict):
+        return {k: _deepcopy(v) for k, v in tree.items()}
+    return tree
+
+
 def model_size_bytes(variables: Dict[str, Any]) -> int:
     """Total bytes of all array leaves (reporting/packing-ratio checks)."""
     leaves = jax.tree.leaves(variables)

@@ -189,3 +189,26 @@ def test_mobilenet_v2_full_packed():
     deploy = pack_model(model, variables, x)
     y_packed = model.apply(deploy, x, mode="packed")
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=2e-2, atol=2e-2)
+
+
+def test_unpack_model_roundtrip():
+    """deploy -> unpack -> fp32 forward matches the quant simulation of the
+    original (the int weights ARE the simulated weights)."""
+    from quantize_tpu.deploy import unpack_model
+
+    model = MODELS.build("testcnn", num_classes=4, ctx=QuantCtx({
+        "default": {
+            "weight": {"n_bits": 8, "symmetric": True, "granularity": "channel",
+                       "range": {"name": "minmax"}},
+            "activation": {"n_bits": 32},
+            "bn_folding": True,
+        }}))
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+    deploy = pack_model(model, variables, x)
+    restored = unpack_model(deploy)
+    y_restored = model.apply(restored, x, mode="fp32")
+    np.testing.assert_allclose(np.asarray(y_restored), np.asarray(y_sim),
+                               rtol=2e-3, atol=2e-3)
