@@ -180,3 +180,20 @@ def test_awq_grouped_layer_quant():
     assert scale.shape == (32 * 4 // 8,)
     y = model.apply(variables, x, mode="quant")
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_cross_entropy_estimator_in_layer():
+    """Classifier-head activation quantizer with the CE estimator (the
+    reference's cross_entropy config, configs/runners/ptq/cross_entropy)."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(16, 10)).astype(np.float32))
+    cfg = LayerQuantCfg(
+        weight={"n_bits": 8, "symmetric": True, "granularity": "channel",
+                "range": {"name": "minmax"}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "cross_entropy", "grid": 10}},
+    )
+    model = QuantDense(features=4, quant=cfg)
+    variables = calibrated_apply(model, x)
+    y = model.apply(variables, x, mode="quant")
+    assert np.isfinite(np.asarray(y)).all()

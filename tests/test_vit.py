@@ -102,3 +102,29 @@ def test_vit_b16_builds():
     x = jnp.zeros((1, 224, 224, 3))
     variables = model.init(jax.random.PRNGKey(0), x)
     assert model.apply(variables, x).shape == (1, 10)
+
+
+def test_vit_qat_gradient_step():
+    """STE gradients flow through quantized attention + MLP projections."""
+    import optax
+
+    model = VisionTransformer(
+        image_size=16, patch_size=8, num_layers=1, num_heads=2,
+        hidden_dim=16, mlp_dim=32, num_classes=3, ctx=QuantCtx(W8A8),
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    y = jnp.asarray([0, 1, 2, 0])
+    v = calibrated(model, x)
+
+    def loss_fn(params):
+        logits = model.apply({**v, "params": params}, x, mode="quant")
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    l0 = float(loss_fn(v["params"]))
+    g = jax.grad(loss_fn)(v["params"])
+    gn = float(optax.global_norm(g))
+    assert np.isfinite(l0) and gn > 0
+    # attention projection weights receive gradient
+    attn_g = g["encoder_layer_0"]["self_attention"]["q_proj"]["kernel"]
+    assert float(jnp.linalg.norm(attn_g)) > 0
