@@ -57,7 +57,7 @@ def _build_on_cpu(size: int):
     return model, variables, deploy
 
 
-def _time(step, v, x, iters: int, warmup: int = 2) -> float:
+def _time(step, v, iters: int, warmup: int = 2) -> float:
     """Per-call chained timing with a sync every iteration.
 
     Measurement on this remote-execution environment is subtle: identical
@@ -73,12 +73,12 @@ def _time(step, v, x, iters: int, warmup: int = 2) -> float:
 
     seed = jnp.float32(0.0)
     for _ in range(warmup):
-        seed, out = step(v, x, seed)
+        seed, out = step(v, seed)
         float(jnp.sum(out))  # hard value fetch: block_until_ready alone does
         # not guarantee execution completed on this runtime
     t0 = time.perf_counter()
     for _ in range(iters):
-        seed, out = step(v, x, seed)
+        seed, out = step(v, seed)
         float(jnp.sum(out))
     return (time.perf_counter() - t0) / iters
 
@@ -95,10 +95,6 @@ def main() -> None:
 
     dev = jax.devices()[0]
     deploy_dev = jax.device_put(deploy, dev)
-    x = jax.device_put(
-        np.random.default_rng(1).normal(size=(batch, size, size, 3)).astype(np.float32),
-        dev,
-    )
 
     # NOTE: variables are jit *arguments*, not closure constants — baking
     # them in makes XLA constant-fold the packed graph's weight-dependent
@@ -109,17 +105,22 @@ def main() -> None:
 
     def make_step(mode):
         @jax.jit
-        def step(v, base_img, seed):
-            # distinct input per call from a SCALAR seed (returning a
-            # perturbed full image ships ~77MB back over the tunnel per call)
-            img = base_img + seed
+        def step(v, seed):
+            # synthesize a distinct batch ON DEVICE from a scalar seed: the
+            # execution tunnel re-ships large args per call, so neither a
+            # chained full-image carry nor a resident base image is free
+            n, h, w, c = batch, size, size, 3
+            ih = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, c), 1)
+            iw = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, c), 2)
+            ic = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, c), 3)
+            img = ((ih * 7.1 + iw * 13.3 + ic * 29.7) * 1e-2 + seed) % 2.0 - 1.0
             out = model.apply(v, img, mode=mode)
             return seed + 1e-3 * jnp.tanh(jnp.mean(out)) + 1e-3, out
 
         return step
 
     packed_step = make_step("packed")
-    t_packed = _time(packed_step, deploy_dev, x, iters)
+    t_packed = _time(packed_step, deploy_dev, iters)
     img_s = batch / t_packed
 
     vs = 1.0
@@ -128,7 +129,7 @@ def main() -> None:
             {"params": variables["params"], "qparams": variables["qparams"]}, dev
         )
         fp32_step = make_step("fp32")
-        t_fp32 = _time(fp32_step, variables_dev, x, iters)
+        t_fp32 = _time(fp32_step, variables_dev, iters)
         vs = round(t_fp32 / t_packed, 3)
 
     print(json.dumps({
