@@ -1,0 +1,116 @@
+"""Accuracy-delta trends vs the reference's tables (synthetic proxy).
+
+The reference validates by ImageNet top-1 deltas (BASELINE.md). Without
+ImageNet access, this harness trains a small FP32 CNN to high accuracy on
+the synthetic task, then checks the *qualitative* ordering the reference
+tables establish:
+
+* W8A8 loses almost nothing vs FP32 (Δ < a few points),
+* at low weight bits, per-channel scales beat per-layer scales
+  (``configs/README.md:18-21``: minmax_channel >> minmax_layer at W4),
+* MSE search does no worse than plain minmax at low bits.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from quantize_tpu.data import make_synthetic
+from quantize_tpu.models import MODELS
+from quantize_tpu.nn.intercept import QuantCtx
+
+
+def quant_cfg(w_bits=8, a_bits=8, w_gran="channel", w_range="minmax"):
+    return {
+        "default": {
+            "weight": {"n_bits": w_bits, "symmetric": True, "signed": True,
+                       "granularity": w_gran, "range": {"name": w_range}},
+            "activation": {"n_bits": a_bits, "symmetric": False, "granularity": "layer",
+                           "range": {"name": "minmax"}},
+            "bn_folding": True,
+        }
+    }
+
+
+@pytest.fixture(scope="module")
+def trained_fp32():
+    """Train the testcnn FP32 on the synthetic task to high accuracy."""
+    train = make_synthetic(n=512, image_size=16, num_classes=10, seed=1, noise=0.4)
+    test = make_synthetic(n=256, image_size=16, num_classes=10, seed=2, noise=0.4)
+    model = MODELS.build("testcnn", num_classes=10, ctx=QuantCtx(quant_cfg()))
+    x0 = jnp.asarray(train.images[:64])
+    variables = dict(model.init(jax.random.PRNGKey(0), x0, mode="calibrate"))
+    variables.pop("taps", None)
+
+    tx = optax.adam(3e-3)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    frozen = {k: v for k, v in variables.items() if k != "params"}
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply({**frozen, "params": p}, x, mode="fp32")
+            return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    for _ in range(150):
+        idx = rng.integers(0, len(train.images), 64)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(train.images[idx]), jnp.asarray(train.labels[idx]))
+    variables = {**frozen, "params": params}
+    return model, variables, train, test
+
+
+def _accuracy(model, variables, ds, mode):
+    logits = model.apply(variables, jnp.asarray(ds.images), mode=mode)
+    pred = np.argmax(np.asarray(logits), axis=1)
+    return 100.0 * (pred == ds.labels).mean()
+
+
+def _calibrate_with_cfg(trained, cfg):
+    model_fp, variables, train, test = trained
+    model = MODELS.build("testcnn", num_classes=10, ctx=QuantCtx(cfg))
+    v = dict(variables)
+    # recalibrate observers for this quant config from scratch
+    v.pop("qobs", None)
+    v.pop("qparams", None)
+    for i in range(0, 256, 64):
+        x = jnp.asarray(train.images[i:i + 64])
+        _, upd = model.apply(v, x, mode="calibrate", mutable=["qobs", "qparams"])
+        v = {**v, **upd}
+    return model, v
+
+
+def test_w8a8_delta_small(trained_fp32):
+    model_fp, variables, train, test = trained_fp32
+    acc_fp = _accuracy(model_fp, variables, test, "fp32")
+    assert acc_fp > 80.0, f"FP32 baseline too weak ({acc_fp})"
+
+    model_q, vq = _calibrate_with_cfg(trained_fp32, quant_cfg(8, 8))
+    acc_q = _accuracy(model_q, vq, test, "quant")
+    assert acc_fp - acc_q < 5.0, f"W8A8 delta too large: {acc_fp} -> {acc_q}"
+
+
+def test_low_bit_channel_beats_layer(trained_fp32):
+    model_fp, variables, train, test = trained_fp32
+    m_ch, v_ch = _calibrate_with_cfg(trained_fp32, quant_cfg(3, 32, w_gran="channel"))
+    m_ly, v_ly = _calibrate_with_cfg(trained_fp32, quant_cfg(3, 32, w_gran="layer"))
+    acc_ch = _accuracy(m_ch, v_ch, test, "quant")
+    acc_ly = _accuracy(m_ly, v_ly, test, "quant")
+    # reference tables: per-channel >> per-layer at low weight bits
+    assert acc_ch >= acc_ly - 1.0, f"channel {acc_ch} vs layer {acc_ly}"
+
+
+def test_mse_no_worse_than_minmax(trained_fp32):
+    m_mm, v_mm = _calibrate_with_cfg(trained_fp32, quant_cfg(3, 32, w_range="minmax"))
+    m_gs, v_gs = _calibrate_with_cfg(trained_fp32, quant_cfg(3, 32, w_range="mse"))
+    model_fp, variables, train, test = trained_fp32
+    acc_mm = _accuracy(m_mm, v_mm, test, "quant")
+    acc_gs = _accuracy(m_gs, v_gs, test, "quant")
+    assert acc_gs >= acc_mm - 2.0, f"mse {acc_gs} vs minmax {acc_mm}"
