@@ -114,3 +114,61 @@ def test_mse_no_worse_than_minmax(trained_fp32):
     acc_mm = _accuracy(m_mm, v_mm, test, "quant")
     acc_gs = _accuracy(m_gs, v_gs, test, "quant")
     assert acc_gs >= acc_mm - 2.0, f"mse {acc_gs} vs minmax {acc_mm}"
+
+
+def test_adaround_beats_nearest_rounding(trained_fp32):
+    """AdaRound reconstruction should recover accuracy lost to nearest
+    rounding at low weight bits (the reference's headline result,
+    configs/README.md:28-37)."""
+    import optax as _optax
+
+    from quantize_tpu.quant.adaround import beta_schedule, regularization
+
+    model_fp, variables, train, test = trained_fp32
+    W3 = quant_cfg(3, 32, w_gran="channel")
+    W3["default"]["weight"]["adaround"] = {"apply": True}
+    model = MODELS.build("testcnn", num_classes=10, ctx=QuantCtx(W3))
+
+    v = dict(variables)
+    v.pop("qobs", None)
+    v.pop("qparams", None)
+    x0 = jnp.asarray(train.images[:64])
+    _, upd = model.apply(v, x0, mode="calibrate", mutable=["qobs", "qparams"])
+    v = {**v, **upd}
+    acc_nearest = _accuracy(model, v, test, "quant")
+
+    # init V and optimize it (compact version of the AdaRound runner loop)
+    _, upd = model.apply(v, x0, mode="init_adaround", mutable=["adaround"])
+    v = {**v, **upd}
+    tx = _optax.adam(1e-2)
+    opt_state = tx.init(v["adaround"])
+
+    @jax.jit
+    def ada_step(v_all, opt_state, x, beta):
+        _, upd = model.apply(v_all, x, mode="calibrate",
+                             mutable=["qobs", "qparams", "taps"])
+        fp_taps = jax.lax.stop_gradient(upd.pop("taps"))
+        v_all = {**v_all, "qobs": upd["qobs"], "qparams": upd["qparams"]}
+
+        def loss_fn(ada):
+            _, upd2 = model.apply({**v_all, "adaround": ada}, x, mode="quant",
+                                  mutable=["taps"])
+            recon = sum(jax.tree.leaves(jax.tree.map(
+                lambda q, o: jnp.mean((q - o) ** 2), upd2["taps"], fp_taps)))
+            reg = sum(regularization(t, beta) for t in jax.tree.leaves(ada))
+            return recon + 0.01 * reg
+
+        loss, grads = jax.value_and_grad(loss_fn)(v_all["adaround"])
+        updates, opt_state = tx.update(grads, opt_state, v_all["adaround"])
+        ada = _optax.apply_updates(v_all["adaround"], updates)
+        return {**v_all, "adaround": ada}, opt_state, loss
+
+    rng = np.random.default_rng(3)
+    total = 80
+    for it in range(total):
+        idx = rng.integers(0, len(train.images), 64)
+        beta = jnp.asarray(float(beta_schedule(it, total)), jnp.float32)
+        v, opt_state, loss = ada_step(v, opt_state, jnp.asarray(train.images[idx]), beta)
+
+    acc_ada = _accuracy(model, v, test, "quant")
+    assert acc_ada >= acc_nearest - 1.0, f"adaround {acc_ada} vs nearest {acc_nearest}"
