@@ -49,7 +49,30 @@ def execute_runner(cfg) -> Optional[dict]:
 
     runner = build_runner(cfg, train_loader, val_loader, test_loader)
     if train_loader is not None:
-        runner.run()
+        elastic = cfg.train.elastic if cfg.train else None
+        if elastic:
+            # fault-tolerant path: resumable epochs + supervised restarts
+            # (no reference analog; config: train.elastic.{max_restarts,...})
+            import os
+
+            from ..parallel.fault import HealthMonitor, Heartbeat
+            from .resume import supervised_run
+
+            hb_path = os.path.join(cfg.output_dir or "results", "p0.heartbeat")
+            result_sup = supervised_run(
+                lambda attempt: runner if attempt == 0 else build_runner(
+                    cfg, _loader(cfg, "train"), val_loader, test_loader),
+                max_restarts=int(elastic.max_restarts or 3),
+                backoff_s=float(elastic.backoff_s or 0.5),
+                ckpt_every_epochs=int(elastic.ckpt_every_epochs or 1),
+                monitor_factory=(HealthMonitor if elastic.monitor else None),
+                heartbeat=Heartbeat(hb_path),
+            )
+            runner = result_sup.runner
+            if result_sup.restarts:
+                logger.info(f"completed after {len(result_sup.restarts)} restart(s)")
+        else:
+            runner.run()
 
     result = None
     if test_loader is not None:
