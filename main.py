@@ -10,6 +10,15 @@ seeding, and executes the configured runner.
 from __future__ import annotations
 
 import argparse
+import os
+
+# Honor JAX_PLATFORMS even when a preloaded device plugin would otherwise
+# take priority (e.g. JAX_PLATFORMS=cpu for device-free runs). Must happen
+# before the first backend use.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from quantize_tpu.runners import execute_runner
 from quantize_tpu.utils import Config, Logger, set_random_seed
