@@ -86,10 +86,11 @@ def _time(step, v, iters: int, warmup: int = 2) -> float:
 def main() -> None:
     import jax
 
-    batch = int(os.environ.get("BENCH_BATCH", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
     size = int(os.environ.get("BENCH_SIZE", 224))
     iters = int(os.environ.get("BENCH_ITERS", 5))
     run_baseline = os.environ.get("BENCH_BASELINE", "1") != "0"
+    carry = os.environ.get("BENCH_CARRY", "bfloat16")
 
     model, variables, deploy = _build_on_cpu(size)
 
@@ -118,6 +119,13 @@ def main() -> None:
             return seed + 1e-3 * jnp.tanh(jnp.mean(out)) + 1e-3, out
 
         return step
+
+    # serving precision: bf16 inter-layer carries (packed mode only; halves
+    # inter-layer HBM traffic, accuracy validated in tests/test_precision.py)
+    if carry not in ("float32", "f32"):
+        from quantize_tpu.nn.precision import set_packed_carry_dtype
+
+        set_packed_carry_dtype(carry)
 
     packed_step = make_step("packed")
     t_packed = _time(packed_step, deploy_dev, iters)

@@ -80,6 +80,30 @@ class FolderDataset:
         return out
 
 
+    def select_subclass(self, subclass: str = "all") -> "FolderDataset":
+        """Base/new class split for base-to-new generalization (reference
+        ``imagenet.py:140-181``): ``base`` keeps the first ceil(C/2) classes,
+        ``new`` the rest; labels are re-indexed to 0..m-1 and classnames
+        restricted accordingly."""
+        assert subclass in ("all", "base", "new"), subclass
+        if subclass == "all":
+            return self
+        import math
+
+        labels = sorted(np.unique(self.labels).tolist())
+        m = math.ceil(len(labels) / 2)
+        selected = labels[:m] if subclass == "base" else labels[m:]
+        relabel = {lab: i for i, lab in enumerate(selected)}
+        keep = [i for i, lab in enumerate(self.labels_list) if lab in relabel]
+        out = object.__new__(FolderDataset)
+        out.root, out.transform = self.root, self.transform
+        out.classnames = [self.classnames[lab] for lab in selected]
+        out.paths = [self.paths[i] for i in keep]
+        out.labels_list = [relabel[self.labels_list[i]] for i in keep]
+        out.labels = np.asarray(out.labels_list, np.int32)
+        return out
+
+
 def _ragged(imgs: List[np.ndarray]) -> bool:
     return len({im.shape for im in imgs}) > 1
 
@@ -87,7 +111,11 @@ def _ragged(imgs: List[np.ndarray]) -> bool:
 def _folder(split_cfg, transform, subdir_attr: str = "split") -> FolderDataset:
     root = getattr(split_cfg, "root", None) or "."
     split = getattr(split_cfg, subdir_attr, None) or "val"
-    return FolderDataset(os.path.join(root, split), transform=transform)
+    ds = FolderDataset(os.path.join(root, split), transform=transform)
+    subclass = getattr(split_cfg, "subclass", None)
+    if subclass:
+        ds = ds.select_subclass(str(subclass))
+    return ds
 
 
 @DATASETS.register(name="imagenet")

@@ -30,6 +30,7 @@ from ..ops.pallas.qmatmul import (
 from ..ops.qconv import quant_conv2d, quant_conv2d_wo
 from ..quant.fakequant import fake_quant
 from ..quant.observers import BiasCorrect
+from .precision import packed_carry_dtype
 from ..quant.pack import pack_int4_pairs, unpack_int4_pairs
 from ..quant.qspec import QuantSpec, _freeze
 from .quantizer import Quantizer
@@ -258,7 +259,7 @@ class QuantDense(_QuantLayerBase):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
         if mode == "packed":
-            out = self._packed_forward(x)
+            out = self._packed_forward(x).astype(packed_carry_dtype())
             self.sow("taps", "out", out)
             return out
 
@@ -362,7 +363,7 @@ class QuantConv(_QuantLayerBase):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
         if mode == "packed":
-            out = self._packed_forward(x)
+            out = self._packed_forward(x).astype(packed_carry_dtype())
             self.sow("taps", "out", out)
             return out
 

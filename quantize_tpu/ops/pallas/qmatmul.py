@@ -69,7 +69,9 @@ def quantize_act_int8(x: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray,
 
     Returns (q_int8, effective_zero_f32). See ``ops/ref.py`` oracle.
     """
-    q = jnp.clip(jnp.round(x / scale - zero), qmin, qmax)
+    # compute the grid index in f32 even for bf16 carries: bf16's 8-bit
+    # mantissa would perturb round() near half-integer boundaries
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale - zero), qmin, qmax)
     z_eff = jnp.asarray(zero, jnp.float32)
     if qmin >= 0:
         q = q - 128.0

@@ -1,0 +1,7 @@
+#!/bin/bash
+# Usage: $0 <cfg-name e.g. mse_channel> <model> <bits>
+. "$(dirname "$0")/../sweep_lib.sh"
+CFG=$1; MODEL=$2; BITS=$3
+KEY=weight; [ "activation_quantize" = activation_quantize ] && KEY=activation
+run_sweep ptq/activation_quantize/${CFG}/B${BITS} configs/runners/ptq/activation_quantize/${CFG}.yaml ${MODEL} \
+    quant.default.${KEY}.n_bits=${BITS}

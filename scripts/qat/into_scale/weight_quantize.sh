@@ -1,0 +1,7 @@
+#!/bin/bash
+# BN folded into the weight-quantizer static_scale instead of weight data
+. "$(dirname "$0")/../../sweep_lib.sh"
+CFG=${1:-minmax_channel}; MODEL=${2:-resnet18}; BITS=${3:-8}
+run_sweep qat/into_scale/weight_quantize/${CFG}/W${BITS} configs/runners/qat/weight_quantize/${CFG}.yaml ${MODEL} \
+    quant.default.weight.n_bits=${BITS} \
+    quant.default.bn_folding.into_scale=True

@@ -1,0 +1,5 @@
+#!/bin/bash
+. "$(dirname "$0")/../sweep_lib.sh"
+CFG=${1:-minmax_channel}; MODEL=${2:-resnet18}; BITS=${3:-8}
+run_sweep qat/weight_quantize/${CFG}/W${BITS} configs/runners/qat/weight_quantize/${CFG}.yaml ${MODEL} \
+    quant.default.weight.n_bits=${BITS}

@@ -42,3 +42,31 @@ def test_prefetch_on_mesh_end_to_end():
     for batch in prefetch_to_mesh(loader, mesh=mesh):
         total += int(jnp.sum(jnp.ones_like(batch["label"])))
     assert total == 32
+
+
+def test_folder_dataset_subclass_split(tmp_path):
+    """Base/new split: first half of classes -> base, rest -> new, labels
+    re-indexed (reference imagenet.py:140-181)."""
+    import numpy as np
+    from PIL import Image
+
+    from quantize_tpu.data.imagenet import FolderDataset
+
+    root = tmp_path / "val"
+    for ci in range(5):
+        d = root / f"class{ci}"
+        d.mkdir(parents=True)
+        for j in range(2):
+            Image.fromarray(
+                np.full((8, 8, 3), ci * 40 + j, np.uint8)).save(d / f"{j}.png")
+
+    ds = FolderDataset(str(root))
+    base = ds.select_subclass("base")
+    new = ds.select_subclass("new")
+    assert base.num_classes == 3 and new.num_classes == 2  # ceil(5/2)=3
+    assert len(base) == 6 and len(new) == 4
+    assert sorted(np.unique(base.labels).tolist()) == [0, 1, 2]
+    assert sorted(np.unique(new.labels).tolist()) == [0, 1]
+    assert base.classnames == ["class0", "class1", "class2"]
+    assert new.classnames == ["class3", "class4"]
+    assert ds.select_subclass("all") is ds
