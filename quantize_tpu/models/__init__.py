@@ -58,10 +58,15 @@ def build_model(cfg_model: Config, ctx: Optional[QuantCtx] = None):
     """Build a model from ``cfg.model``: ``name`` + ``num_classes`` plus any
     extra keys passed through to the constructor (e.g. ``widen_factor``,
     ``config_overrides``)."""
+    if cfg_model is None:
+        raise ValueError("cfg.model is missing — set model.name in the config "
+                         "(e.g. --opts model.name=resnet18)")
     if isinstance(cfg_model, Config):
         d = cfg_model.to_dict()
     else:
         d = dict(cfg_model)
+    if not d.get("name"):
+        raise ValueError("cfg.model.name is missing — set model.name in the config")
     name = d["name"]
     num_classes = d.get("num_classes") or 1000
     kwargs = {k: v for k, v in d.items() if k not in _RESERVED_MODEL_KEYS}
