@@ -1,0 +1,119 @@
+"""Ground-truth device profile of the packed ResNet-50 W8A8 forward.
+
+Captures a jax.profiler device trace of the benched packed step on the real
+TPU and prints a per-op time breakdown (top ops by self-time on the device
+lanes), to direct kernel optimization at what is actually hot rather than at
+the static roofline model (docs/BENCH_NOTES.md follow-up).
+
+Usage: python scripts/profile_packed.py [--carry bfloat16] [--batch 256]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def summarize_trace(trace_dir: str, min_us: float = 1.0):
+    """Parse trace.json.gz and aggregate device-lane event durations by name."""
+    paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # identify device process ids (TPU lanes) by process name metadata
+    proc_names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            proc_names[ev["pid"]] = ev["args"].get("name", "")
+    dev_pids = {pid for pid, name in proc_names.items()
+                if "TPU" in name or "/device" in name.lower()}
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        dur = float(ev.get("dur", 0.0))
+        name = ev.get("name", "?")
+        agg[name] += dur
+        cnt[name] += 1
+        total += dur
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    return proc_names, rows, cnt, total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--carry", default="bfloat16")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--mode", default="packed")
+    ap.add_argument("--trace-dir", default="/tmp/qtpu_profile")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    os.environ["BENCH_BATCH"] = str(args.batch)
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    model, variables, deploy = bench._build_on_cpu(args.size)
+    dev = jax.devices()[0]
+    print("device:", dev)
+
+    if args.carry not in ("float32", "f32"):
+        from quantize_tpu.nn.precision import set_packed_carry_dtype
+
+        set_packed_carry_dtype(args.carry)
+
+    batch, size = args.batch, args.size
+
+    @jax.jit
+    def step(v, seed):
+        n, h, w, c = batch, size, size, 3
+        ih = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, c), 1)
+        iw = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, c), 2)
+        ic = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, c), 3)
+        img = ((ih * 7.1 + iw * 13.3 + ic * 29.7) * 1e-2 + seed) % 2.0 - 1.0
+        out = model.apply(v, img, mode=args.mode)
+        return seed + 1e-3 * jnp.tanh(jnp.mean(out)) + 1e-3, out
+
+    if args.mode == "packed":
+        v_dev = jax.device_put(deploy, dev)
+    else:
+        v_dev = jax.device_put(
+            {"params": variables["params"], "qparams": variables["qparams"]}, dev
+        )
+
+    seed = jnp.float32(0.0)
+    for _ in range(2):  # warm compile + warm run
+        seed, out = step(v_dev, seed)
+        float(jnp.sum(out))
+
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(3):
+            seed, out = step(v_dev, seed)
+            float(jnp.sum(out))
+
+    proc_names, rows, cnt, total = summarize_trace(args.trace_dir)
+    print("\nprocesses:", json.dumps(proc_names, indent=None))
+    print(f"\ntotal device-lane time: {total/1e3:.3f} ms across 3 steps")
+    print(f"{'op':<72} {'count':>5} {'total_ms':>9} {'%':>6}")
+    for name, dur in rows[: args.top]:
+        print(f"{name[:72]:<72} {cnt[name]:>5} {dur/1e3:>9.3f} {100*dur/max(total,1e-9):>6.2f}")
+
+
+if __name__ == "__main__":
+    main()
