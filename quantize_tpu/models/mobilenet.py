@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..nn.intercept import QuantCtx
 from ..nn.layers import QuantDense
+from ..nn.precision import packed_qin_carry
 from .resnet import _ConvBN
 
 
@@ -82,20 +83,33 @@ class InvertedResidual(nn.Module):
         ctx = self.ctx
         hidden = int(round(self.in_ch * self.expand_ratio))
         use_res = self.stride == 1 and self.in_ch == self.out_ch
+        # int8 carry: the residual branch reuses the first conv's quantized
+        # input so the block boundary materializes as int8 (nn/qtensor.py)
+        use_qin = use_res and mode == "packed" and packed_qin_carry()
+        identity = x
         out = x
+        qin = None
         idx = 0
         if self.expand_ratio != 1:
             out = _ConvBN(ctx, f"{self.qpath}/conv/{idx}/0", hidden, (1, 1),
-                          name_conv="expand_conv", name_bn="expand_bn")(out, mode, train)
+                          name_conv="expand_conv", name_bn="expand_bn",
+                          return_qinput=use_qin)(out, mode, train)
+            if use_qin:
+                out, qin = out
             out = relu6(out)
             idx += 1
         out = _ConvBN(ctx, f"{self.qpath}/conv/{idx}/0", hidden, (3, 3),
                       (self.stride, self.stride), groups=hidden,
-                      name_conv="dw_conv", name_bn="dw_bn")(out, mode, train)
+                      name_conv="dw_conv", name_bn="dw_bn",
+                      return_qinput=use_qin and idx == 0)(out, mode, train)
+        if use_qin and idx == 0:
+            out, qin = out
         out = relu6(out)
         out = _ConvBN(ctx, f"{self.qpath}/conv/{idx + 1}", self.out_ch, (1, 1),
                       name_conv="project_conv", name_bn="project_bn")(out, mode, train)
-        return x + out if use_res else out
+        if qin is not None:
+            identity = qin.dequant()
+        return identity + out if use_res else out
 
 
 class MobileNetV2(nn.Module):
@@ -184,25 +198,36 @@ class MNV3Block(nn.Module):
         ctx = self.ctx
         act = hard_swish if self.use_hs else nn.relu
         use_res = self.stride == 1 and self.in_ch == self.out_ch
+        use_qin = use_res and mode == "packed" and packed_qin_carry()
+        identity = x
         out = x
+        qin = None
         idx = 0
         if self.exp_ch != self.in_ch:
             out = _ConvBN(ctx, f"{self.qpath}/block/{idx}/0", self.exp_ch, (1, 1),
-                          name_conv="expand_conv", name_bn="expand_bn")(out, mode, train)
+                          name_conv="expand_conv", name_bn="expand_bn",
+                          return_qinput=use_qin)(out, mode, train)
+            if use_qin:
+                out, qin = out
             out = act(out)
             idx += 1
         out = _ConvBN(ctx, f"{self.qpath}/block/{idx}/0", self.exp_ch,
                       (self.kernel, self.kernel), (self.stride, self.stride),
-                      groups=self.exp_ch, name_conv="dw_conv", name_bn="dw_bn")(out, mode, train)
+                      groups=self.exp_ch, name_conv="dw_conv", name_bn="dw_bn",
+                      return_qinput=use_qin and idx == 0)(out, mode, train)
+        if use_qin and idx == 0:
+            out, qin = out
         out = act(out)
         idx += 1
+        if qin is not None:
+            identity = qin.dequant()
         if self.use_se:
             out = SqueezeExcite(ctx, f"{self.qpath}/block/{idx}", self.exp_ch,
                                 _make_divisible(self.exp_ch // 4), name="se")(out, mode)
             idx += 1
         out = _ConvBN(ctx, f"{self.qpath}/block/{idx}/0", self.out_ch, (1, 1),
                       name_conv="project_conv", name_bn="project_bn")(out, mode, train)
-        return x + out if use_res else out
+        return identity + out if use_res else out
 
 
 _V3_LARGE = [

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..nn.intercept import QuantCtx
 from ..nn.layers import QuantConv, QuantDense
+from ..nn.precision import packed_qin_carry
 
 
 class _BN(nn.Module):
@@ -47,9 +48,10 @@ class _ConvBN(nn.Module):
     groups: int = 1
     name_conv: str = "conv"
     name_bn: str = "bn"
+    return_qinput: bool = False  # packed int8-carry: expose conv's quantized input
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False):
         ctx = self.ctx
         pad = [(k // 2, k // 2) for k in self.kernel_size]
         x = QuantConv(
@@ -61,10 +63,15 @@ class _ConvBN(nn.Module):
             use_bias=False,
             quant=ctx.resolve(self.qpath, _conv_kind(ctx)),
             name=self.name_conv,
+            return_qinput=self.return_qinput and mode == "packed",
         )(x, mode=mode)
+        qin = None
+        if self.return_qinput:
+            if mode == "packed":
+                x, qin = x
         if not ctx.bn_folding_enabled:
             x = _BN(name=self.name_bn)(x, train=train)
-        return x
+        return (x, qin) if self.return_qinput else x
 
 
 class BasicBlock(nn.Module):
@@ -76,16 +83,23 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
-        identity = x
+        # int8 carry: skip/downsample reuse conv1's quantized input so the
+        # block-boundary activation materializes once, as int8 (qtensor.py)
+        use_qin = mode == "packed" and packed_qin_carry()
         out = _ConvBN(self.ctx, f"{self.qpath}/conv1", self.features, (3, 3), self.strides,
-                      name_conv="conv1", name_bn="bn1")(x, mode, train)
+                      name_conv="conv1", name_bn="bn1",
+                      return_qinput=use_qin)(x, mode, train)
+        qin = None
+        if use_qin:
+            out, qin = out
+        identity = x if qin is None else qin.dequant()
         out = nn.relu(out)
         out = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3),
                       name_conv="conv2", name_bn="bn2")(out, mode, train)
         if self.downsample:
             identity = _ConvBN(self.ctx, f"{self.qpath}/downsample/0", self.features, (1, 1),
                                self.strides, name_conv="downsample_conv",
-                               name_bn="downsample_bn")(x, mode, train)
+                               name_bn="downsample_bn")(identity, mode, train)
         return nn.relu(out + identity)
 
 
@@ -100,9 +114,14 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
-        identity = x
+        use_qin = mode == "packed" and packed_qin_carry()
         out = _ConvBN(self.ctx, f"{self.qpath}/conv1", self.features, (1, 1),
-                      name_conv="conv1", name_bn="bn1")(x, mode, train)
+                      name_conv="conv1", name_bn="bn1",
+                      return_qinput=use_qin)(x, mode, train)
+        qin = None
+        if use_qin:
+            out, qin = out
+        identity = x if qin is None else qin.dequant()
         out = nn.relu(out)
         out = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3), self.strides,
                       groups=self.groups, name_conv="conv2", name_bn="bn2")(out, mode, train)
@@ -112,7 +131,7 @@ class Bottleneck(nn.Module):
         if self.downsample:
             identity = _ConvBN(self.ctx, f"{self.qpath}/downsample/0", self.out_features, (1, 1),
                                self.strides, name_conv="downsample_conv",
-                               name_bn="downsample_bn")(x, mode, train)
+                               name_bn="downsample_bn")(identity, mode, train)
         return nn.relu(out + identity)
 
 

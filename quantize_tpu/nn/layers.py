@@ -311,6 +311,7 @@ class QuantConv(_QuantLayerBase):
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros_init()
     param_dtype: Any = jnp.float32
+    return_qinput: bool = False  # packed mode: also return the quantized input
 
     def _conv(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.conv_general_dilated(
@@ -334,7 +335,8 @@ class QuantConv(_QuantLayerBase):
         if not w_spec.enabled:
             kernel = self.get_variable("params", "kernel")
             xq = self._packed_act(x, a_spec) if a_spec.enabled else x
-            return self._conv(xq, kernel) + bias
+            out = self._conv(xq, kernel) + bias
+            return (out, None) if self.return_qinput else out
 
         w_scale = self.get_variable("packed", "w_scale")
         w_zero = self.get_variable("packed", "w_zero")
@@ -352,20 +354,39 @@ class QuantConv(_QuantLayerBase):
                 if self.has_variable("packed", "corr_a")
                 else None
             )
-            return quant_conv2d(
+            from ..ops.pallas.qmatmul import quantize_act_int8
+
+            q_a, z_eff = quantize_act_int8(x, a_scale, a_zero,
+                                           a_spec.qmin, a_spec.qmax)
+            out = quant_conv2d(
                 x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
                 w_int, w_scale, w_zero, bias,
-                w_zero_is_zero=bool(w_spec.symmetric), corr_a=corr_a, **conv_kw,
+                w_zero_is_zero=bool(w_spec.symmetric), corr_a=corr_a,
+                pre_q=(q_a, z_eff), **conv_kw,
             )
+            if self.return_qinput:
+                from .qtensor import QTensor
+
+                qin = QTensor(q=q_a, scale=jnp.asarray(a_scale, jnp.float32),
+                              z_eff=z_eff)
+                return out, qin
+            return out
         xq = self._packed_act(x, a_spec) if a_spec.enabled else x
-        return quant_conv2d_wo(xq, w_int, w_scale, w_zero, bias, **conv_kw)
+        out = quant_conv2d_wo(xq, w_int, w_scale, w_zero, bias, **conv_kw)
+        if self.return_qinput:
+            return out, None  # non-fusable: no shareable quantized input
+        return out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
         if mode == "packed":
-            out = self._packed_forward(x).astype(packed_carry_dtype())
+            out = self._packed_forward(x)
+            qin = None
+            if self.return_qinput:
+                out, qin = out
+            out = out.astype(packed_carry_dtype())
             self.sow("taps", "out", out)
-            return out
+            return (out, qin) if self.return_qinput else out
 
         kh, kw = self.kernel_size
         in_ch = x.shape[-1] // self.feature_group_count

@@ -18,6 +18,7 @@ from typing import Any
 import jax.numpy as jnp
 
 _CARRY_DTYPE: Any = jnp.float32
+_QIN_CARRY: bool = False
 
 
 def set_packed_carry_dtype(dtype: Any) -> None:
@@ -38,3 +39,30 @@ def packed_carry(dtype: Any):
         yield
     finally:
         set_packed_carry_dtype(prev)
+
+
+def set_packed_qin_carry(enabled: bool) -> None:
+    """Enable int8 quantized-domain carries across residual blocks.
+
+    When on, packed residual blocks feed their skip/downsample branches from
+    the main-path conv's quantized input (:class:`~.qtensor.QTensor`) rather
+    than the float activation — block-boundary tensors then materialize in
+    HBM as int8. Skip paths see ``fake_quant(x)`` instead of ``x`` (accuracy
+    covered in tests/test_precision.py).
+    """
+    global _QIN_CARRY
+    _QIN_CARRY = bool(enabled)
+
+
+def packed_qin_carry() -> bool:
+    return _QIN_CARRY
+
+
+@contextmanager
+def qin_carry(enabled: bool = True):
+    prev = _QIN_CARRY
+    set_packed_qin_carry(enabled)
+    try:
+        yield
+    finally:
+        set_packed_qin_carry(prev)

@@ -70,10 +70,19 @@ def quant_conv2d(
     groups: int = 1,
     w_zero_is_zero: bool = False,
     corr_a: Optional[jnp.ndarray] = None,
+    pre_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
-    """Fused W8A8 conv2d (per-out-channel weight scales, per-tensor act)."""
+    """Fused W8A8 conv2d (per-out-channel weight scales, per-tensor act).
+
+    ``pre_q``: optionally the already-quantized input ``(q_int8, z_eff)`` —
+    used by the int8-carry path where the caller shares the quantized
+    activation with other consumers (``x`` is then only read for its shape).
+    """
     n, h, w_sp, _ = x.shape
-    q_a, z_eff = quantize_act_int8(x, a_scale, a_zero, a_qmin, a_qmax)
+    if pre_q is not None:
+        q_a, z_eff = pre_q
+    else:
+        q_a, z_eff = quantize_act_int8(x, a_scale, a_zero, a_qmin, a_qmax)
 
     acc = _conv(q_a, w_int.astype(jnp.int8), strides, padding, groups,
                 preferred=jnp.int32).astype(jnp.float32)
