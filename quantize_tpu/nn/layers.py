@@ -240,8 +240,10 @@ class QuantDense(_QuantLayerBase):
             a_zero = self.get_variable("packed", "a_zero").reshape(())
             if p4:
                 w_p4 = self.get_variable("packed", "w_p4")
+                col_sum = (self.get_variable("packed", "col_sum")
+                           if self.has_variable("packed", "col_sum") else None)
                 return quant_matmul_w4a8(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
-                                         w_p4, w_scale, w_zero, bias)
+                                         w_p4, w_scale, w_zero, bias, col_sum)
             w_int = self.get_variable("packed", "w_int")
             col_sum = self.get_variable("packed", "col_sum")
             return quant_matmul_w8a8(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
@@ -278,7 +280,7 @@ class QuantDense(_QuantLayerBase):
                     pv("w_p4", pack_int4_splithalf(q_i8))
                 else:
                     pv("w_int", q_i8)
-                    pv("col_sum", jnp.sum(q_i8.astype(jnp.int32), axis=0))
+                pv("col_sum", jnp.sum(q_i8.astype(jnp.int32), axis=0))
 
             return self._pack(x, kernel, bias, self.quant, contract,
                               lambda c: c, store_weight)

@@ -171,6 +171,9 @@ def quant_matmul_w8a8(
     col_sum_w: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused W8A8 matmul. ``x``: (..., K) float; ``w_int``: (K, N) int8."""
+    if _MATMUL_BACKEND == "xla":
+        return quant_matmul_w8a8_xla(x, a_scale, a_zero, a_qmin, a_qmax,
+                                     w_int, w_scale, w_zero, bias, col_sum_w)
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = w_int.shape[1]
@@ -312,8 +315,16 @@ def quant_matmul_w4a8(
     w_scale: jnp.ndarray,
     w_zero: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    col_sum_w: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused W4A8 matmul over split-half packed weights ((K/2, N) int8)."""
+    if _MATMUL_BACKEND == "xla":
+        # in-graph nibble unpack (elementwise on the small weight) + native
+        # int8 dot: XLA fuses the unpack into the matmul's operand and the
+        # epilogue into consumers — no pallas_call fusion barrier
+        w_int = unpack_int4_splithalf(w_packed)
+        return quant_matmul_w8a8_xla(x, a_scale, a_zero, a_qmin, a_qmax,
+                                     w_int, w_scale, w_zero, bias, col_sum_w)
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = w_packed.shape[1]
@@ -395,6 +406,19 @@ def quant_matmul_wo(
     """Weight-only quantized matmul: float acts x int8-stored weights."""
     lead = x.shape[:-1]
     n = w_int.shape[1]
+    if _MATMUL_BACKEND == "xla":
+        # dequantize the (small) weight elementwise; matmul in bf16 on TPU
+        # (f32 accumulate), f32 elsewhere for test determinism
+        w_deq = (w_int.astype(jnp.float32) + w_zero.reshape(1, -1)) * w_scale.reshape(1, -1)
+        cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        x2 = x.reshape(-1, x.shape[-1])
+        out = jax.lax.dot_general(
+            x2.astype(cdt), w_deq.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            out = out + bias
+        return out.reshape(*lead, n)
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
@@ -403,8 +427,30 @@ def quant_matmul_wo(
 
 
 # ---------------------------------------------------------------------------
-# XLA-native W8A8 (the compiler-scheduled alternative; also CPU-safe)
+# XLA-native variants (compiler-scheduled; also CPU-safe)
+#
+# Device-trace profiling on v5e (docs/BENCH_NOTES.md) showed the Pallas
+# matmul kernels losing to XLA's native int8 path at transformer shapes:
+# each pallas_call is a fusion barrier, so the activation quantize, the
+# pad-to-block / slice-back, and the epilogue all materialize separately
+# (ViT-B/16 W4A8 spent ~35 ms/step in reshape/copy/slice/pad alone). The
+# XLA variants express the same math as dot_general(int8, int8) + an
+# elementwise epilogue that XLA fuses into neighbors. The Pallas kernels
+# are kept as the explicit-kernel alternative (set_matmul_backend).
 # ---------------------------------------------------------------------------
+
+_MATMUL_BACKEND = "xla"  # "xla" | "pallas"
+
+
+def set_matmul_backend(name: str) -> None:
+    """Select the packed matmul implementation ("xla" or "pallas")."""
+    global _MATMUL_BACKEND
+    assert name in ("xla", "pallas"), name
+    _MATMUL_BACKEND = name
+
+
+def matmul_backend() -> str:
+    return _MATMUL_BACKEND
 
 def quant_matmul_w8a8_xla(
     x, a_scale, a_zero, a_qmin, a_qmax, w_int, w_scale, w_zero,

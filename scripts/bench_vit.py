@@ -1,7 +1,9 @@
 """ViT-B/16 W4A8 packed inference benchmark (BASELINE.json's second headline).
 
 Same methodology as bench.py (CPU-side pack, on-device batch synthesis,
-per-call chained timing with hard value fetches). Prints one JSON line.
+BENCH_K seed-chained batches per dispatch under lax.scan, hard value
+fetches). Prints one JSON line. BENCH_CARRY sets the packed inter-layer
+carry dtype (default bfloat16, as bench.py).
 """
 from __future__ import annotations
 
@@ -27,6 +29,8 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 128))
     size = int(os.environ.get("BENCH_SIZE", 224))
     iters = int(os.environ.get("BENCH_ITERS", 5))
+    k_per_dispatch = int(os.environ.get("BENCH_K", 8))
+    carry = os.environ.get("BENCH_CARRY", "bfloat16")
 
     cfg = {
         "default": {
@@ -52,13 +56,27 @@ def main() -> None:
     dev = jax.devices()[0]
     deploy_dev = jax.device_put(deploy, dev)
 
-    @jax.jit
-    def step(v, seed):
+    if carry not in ("float32", "f32"):
+        from quantize_tpu.nn.precision import set_packed_carry_dtype
+
+        set_packed_carry_dtype(carry)
+
+    def one(v, seed):
         ih = jax.lax.broadcasted_iota(jnp.float32, (batch, size, size, 3), 1)
         iw = jax.lax.broadcasted_iota(jnp.float32, (batch, size, size, 3), 2)
         img = ((ih * 7.1 + iw * 13.3) * 1e-2 + seed) % 2.0 - 1.0
         out = model.apply(v, img, mode="packed")
         return seed + 1e-3 * jnp.tanh(jnp.mean(out)) + 1e-3, out
+
+    if k_per_dispatch <= 1:
+        step = jax.jit(one)
+    else:
+        @jax.jit
+        def step(v, seed):
+            def body(c, _):
+                s, o = one(v, c)
+                return s, jnp.mean(o)
+            return jax.lax.scan(body, seed, None, length=k_per_dispatch)
 
     seed = jnp.float32(0.0)
     for _ in range(2):
@@ -71,7 +89,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "metric": "vit_b16_w4a8_packed_inference",
-        "value": round(batch / dt, 1),
+        "value": round(batch * max(k_per_dispatch, 1) / dt, 1),
         "unit": "img/s/chip",
         "vs_baseline": 1.0,
     }))

@@ -1,13 +1,23 @@
-"""Fused quantized matmul kernels vs the jnp oracle (interpret mode on CPU)."""
+"""Fused quantized matmul kernels vs the jnp oracle, across both the
+Pallas (interpret mode on CPU) and XLA-native backends."""
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from quantize_tpu.ops.pallas.qmatmul import (
-    pack_int4_splithalf, quant_matmul_w4a8, quant_matmul_w8a8,
-    quant_matmul_w8a8_xla, quant_matmul_wo, unpack_int4_splithalf,
+    matmul_backend, pack_int4_splithalf, quant_matmul_w4a8, quant_matmul_w8a8,
+    quant_matmul_w8a8_xla, quant_matmul_wo, set_matmul_backend,
+    unpack_int4_splithalf,
 )
 from quantize_tpu.ops.ref import quant_matmul_int_ref, quant_matmul_ref, quant_matmul_wo_ref
+
+
+@pytest.fixture(params=["xla", "pallas"])
+def backend(request):
+    prev = matmul_backend()
+    set_matmul_backend(request.param)
+    yield request.param
+    set_matmul_backend(prev)
 
 
 def make_case(m=32, k=64, n=48, w_bits=8, sym_w=True, seed=0):
@@ -40,7 +50,7 @@ def test_w8a8_xla_matches_oracle():
 
 
 @pytest.mark.parametrize("shape", [(32, 64, 48), (8, 16, 8), (100, 130, 70)])
-def test_w8a8_pallas_matches_oracle(shape):
+def test_w8a8_pallas_matches_oracle(shape, backend):
     m, k, n = shape
     x, a_s, a_z, w, w_s, w_z, b = make_case(m, k, n, sym_w=False, seed=2)
     ref = quant_matmul_ref(x, a_s, a_z, 0, 255, w, w_s, w_z, b)
@@ -48,7 +58,7 @@ def test_w8a8_pallas_matches_oracle(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_w8a8_batched_leading_dims():
+def test_w8a8_batched_leading_dims(backend):
     x, a_s, a_z, w, w_s, w_z, b = make_case(32, 64, 48, seed=3)
     x3 = x.reshape(4, 8, 64)
     ref = quant_matmul_ref(x, a_s, a_z, 0, 255, w, w_s, w_z, b)
@@ -67,7 +77,7 @@ def test_int4_splithalf_roundtrip():
 
 
 @pytest.mark.parametrize("shape", [(16, 64, 32), (32, 128, 48)])
-def test_w4a8_pallas_matches_oracle(shape):
+def test_w4a8_pallas_matches_oracle(shape, backend):
     m, k, n = shape
     x, a_s, a_z, _, w_s, w_z, b = make_case(m, k, n, sym_w=True, seed=4)
     rng = np.random.default_rng(5)
@@ -78,7 +88,7 @@ def test_w4a8_pallas_matches_oracle(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_weight_only_matches_oracle():
+def test_weight_only_matches_oracle(backend):
     x, _, _, w, w_s, w_z, b = make_case(24, 56, 40, sym_w=False, seed=6)
     ref = quant_matmul_wo_ref(x, w, w_s, w_z, b)
     got = quant_matmul_wo(x, w, w_s, w_z, b)
