@@ -98,7 +98,7 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 256))
     size = int(os.environ.get("BENCH_SIZE", 224))
     iters = int(os.environ.get("BENCH_ITERS", 5))
-    k_per_dispatch = int(os.environ.get("BENCH_K", 8))
+    k_per_dispatch = int(os.environ.get("BENCH_K", 32))
     run_baseline = os.environ.get("BENCH_BASELINE", "1") != "0"
     carry = os.environ.get("BENCH_CARRY", "bfloat16")
     # int8 block-boundary carries: device-lane profiles showed parity with
