@@ -35,6 +35,8 @@ class InferenceEngine:
         mode: str = "packed",
         mesh=None,
         max_wait_ms: float = 2.0,
+        max_queue: int = 4096,
+        max_in_flight: int = 4,
     ):
         self.model = model
         self.variables = variables
@@ -42,19 +44,34 @@ class InferenceEngine:
         self.mode = mode
         self.mesh = mesh
         self.max_wait_s = max_wait_ms / 1e3
-        self._queue: "queue.Queue[tuple[np.ndarray, Future]]" = queue.Queue()
+        # Bounded request queue: submit() blocks when full (backpressure).
+        self._queue: "queue.Queue[tuple[np.ndarray, Future]]" = queue.Queue(
+            maxsize=int(max_queue)
+        )
+        # Bounded in-flight queue between dispatch and drain: the dispatch
+        # thread enqueues un-materialized device arrays (JAX async dispatch)
+        # and immediately assembles the next batch; the drain thread blocks
+        # on device completion and resolves futures. Up to ``max_in_flight``
+        # batches overlap host batching with device compute.
+        self._inflight: "queue.Queue[Optional[tuple]]" = queue.Queue(
+            maxsize=max(1, int(max_in_flight))
+        )
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._drain_thread: Optional[threading.Thread] = None
         self._forward = jax.jit(
             lambda v, x: model.apply(v, x, mode=mode)
         )
         self.n_processed = 0
         self.n_batches = 0
+        self.max_observed_in_flight = 0
 
     # -- lifecycle --------------------------------------------------------
     def start(self) -> "InferenceEngine":
         if self._thread is None:
             self._stop.clear()
+            self._drain_thread = threading.Thread(target=self._drain, daemon=True)
+            self._drain_thread.start()
             self._thread = threading.Thread(target=self._loop, daemon=True)
             self._thread.start()
         return self
@@ -64,6 +81,10 @@ class InferenceEngine:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+        if self._drain_thread is not None:
+            self._inflight.put(None)  # sentinel after dispatch loop exits
+            self._drain_thread.join(timeout=30)
+            self._drain_thread = None
 
     def __enter__(self) -> "InferenceEngine":
         return self.start()
@@ -126,13 +147,34 @@ class InferenceEngine:
                     x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
                 )
             try:
+                # Async dispatch: returns immediately with a device array;
+                # the drain thread materializes it. Next batch assembly
+                # overlaps this batch's device time.
                 out = self._forward(self.variables, x)
-                out_np = np.asarray(out)
-                for i, (_, fut) in enumerate(items):
-                    fut.set_result(out_np[i])
-            except Exception as e:  # propagate failures to waiters
+                self.max_observed_in_flight = max(
+                    self.max_observed_in_flight, self._inflight.qsize() + 1
+                )
+                self._inflight.put((out, items))
+            except Exception as e:  # propagate dispatch failures to waiters
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
             self.n_processed += n
             self.n_batches += 1
+
+    def _drain(self) -> None:
+        """Resolve futures off the dispatch thread: block on device
+        completion here so the dispatch loop never does."""
+        while True:
+            entry = self._inflight.get()
+            if entry is None:
+                return
+            out, items = entry
+            try:
+                out_np = np.asarray(out)
+                for i, (_, fut) in enumerate(items):
+                    fut.set_result(out_np[i])
+            except Exception as e:
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)

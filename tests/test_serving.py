@@ -59,6 +59,50 @@ def test_serving_batches_coalesce():
     assert eng.n_batches <= 8
 
 
+def test_serving_overlaps_dispatch_and_drain():
+    """The dispatch loop must not block on device completion: with a slow
+    drain, >=2 batches should be observed in flight simultaneously."""
+    import threading
+    import time
+
+    model, _, deploy = _packed_testcnn()
+    rng = np.random.default_rng(4)
+    images = [rng.normal(size=(16, 16, 3)).astype(np.float32) for _ in range(24)]
+
+    eng = InferenceEngine(model, deploy, batch_size=4, max_wait_ms=1.0,
+                          max_in_flight=8)
+    # Slow the drain thread's materialization so in-flight batches pile up,
+    # proving dispatch does not wait on np.asarray(out).
+    gate = threading.Event()
+    orig_drain = eng._drain
+
+    def slow_drain():
+        gate.wait(timeout=10)
+        orig_drain()
+
+    eng._drain = slow_drain
+    with eng:
+        futs = eng.submit_many(images)
+        deadline = time.perf_counter() + 10
+        while eng.max_observed_in_flight < 2 and time.perf_counter() < deadline:
+            time.sleep(0.005)
+        gate.set()
+        results = [f.result(timeout=60) for f in futs]
+    assert eng.max_observed_in_flight >= 2
+    direct = np.asarray(
+        model.apply(deploy, jnp.asarray(np.stack(images)), mode="packed"))
+    # Loose tolerance: different batch shapes fuse differently and can flip
+    # int8 rounding at .5 boundaries; exact numerics are covered by
+    # test_serving_matches_direct_forward.
+    np.testing.assert_allclose(np.stack(results), direct, rtol=5e-2, atol=1e-2)
+
+
+def test_serving_bounded_queue_backpressure():
+    model, _, deploy = _packed_testcnn()
+    eng = InferenceEngine(model, deploy, batch_size=4, max_queue=2)
+    assert eng._queue.maxsize == 2
+
+
 def test_serving_on_mesh():
     model, _, deploy = _packed_testcnn()
     mesh = make_mesh(dp=4, tp=1)
