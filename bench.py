@@ -32,8 +32,9 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 
-def _build_on_cpu(size: int):
-    """Calibrate + pack ResNet-50 W8A8 entirely on the CPU backend."""
+def _build_on_cpu(size: int, model_name: str = "resnet50",
+                  w_bits: int = 8, a_bits: int = 8):
+    """Calibrate + pack the benched model entirely on the CPU backend."""
     import jax
     import jax.numpy as jnp
 
@@ -43,14 +44,14 @@ def _build_on_cpu(size: int):
 
     cfg = {
         "default": {
-            "weight": {"n_bits": 8, "symmetric": True, "signed": True,
+            "weight": {"n_bits": w_bits, "symmetric": True, "signed": True,
                        "granularity": "channel", "range": {"name": "minmax"}},
-            "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+            "activation": {"n_bits": a_bits, "symmetric": False, "granularity": "layer",
                            "range": {"name": "minmax"}},
             "bn_folding": True,
         }
     }
-    model = MODELS.build("resnet50", num_classes=1000, ctx=QuantCtx(cfg))
+    model = MODELS.build(model_name, num_classes=1000, ctx=QuantCtx(cfg))
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         rng = np.random.default_rng(0)
@@ -100,13 +101,17 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", 5))
     k_per_dispatch = int(os.environ.get("BENCH_K", 32))
     run_baseline = os.environ.get("BENCH_BASELINE", "1") != "0"
+    baseline_dtype = os.environ.get("BENCH_BASELINE_DTYPE", "bfloat16")
     carry = os.environ.get("BENCH_CARRY", "bfloat16")
+    model_name = os.environ.get("BENCH_MODEL", "resnet50")
+    w_bits = int(os.environ.get("BENCH_WBITS", 8))
+    a_bits = int(os.environ.get("BENCH_ABITS", 8))
     # int8 block-boundary carries: device-lane profiles showed parity with
     # bf16 carries on ResNet-50 (19.7 vs 20.0 ms/batch @ 256), so the extra
     # skip-path quantization noise isn't bought back — default off
     qin_carry = os.environ.get("BENCH_QIN", "0") != "0"
 
-    model, variables, deploy = _build_on_cpu(size)
+    model, variables, deploy = _build_on_cpu(size, model_name, w_bits, a_bits)
 
     dev = jax.devices()[0]
     deploy_dev = jax.device_put(deploy, dev)
@@ -118,7 +123,7 @@ def main() -> None:
     # one dispatch each.
     import jax.numpy as jnp
 
-    def make_step(mode):
+    def make_step(mode, in_dtype=None):
         def one(v, seed):
             # synthesize a distinct batch ON DEVICE from a scalar seed: the
             # execution tunnel re-ships large args per call, so neither a
@@ -128,8 +133,10 @@ def main() -> None:
             iw = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, c), 2)
             ic = jax.lax.broadcasted_iota(jnp.float32, (n, h, w, c), 3)
             img = ((ih * 7.1 + iw * 13.3 + ic * 29.7) * 1e-2 + seed) % 2.0 - 1.0
+            if in_dtype is not None:
+                img = img.astype(in_dtype)
             out = model.apply(v, img, mode=mode)
-            return seed + 1e-3 * jnp.tanh(jnp.mean(out)) + 1e-3, out
+            return seed + 1e-3 * jnp.tanh(jnp.mean(out).astype(jnp.float32)) + 1e-3, out
 
         if k_per_dispatch <= 1:
             return jax.jit(one)
@@ -160,17 +167,28 @@ def main() -> None:
     t_packed = _time(packed_step, deploy_dev, iters)
     img_s = batch * max(k_per_dispatch, 1) / t_packed
 
+    # Baseline: the same model's unquantized forward at BENCH_BASELINE_DTYPE.
+    # bf16 is the honest practitioner baseline on TPU (any serving deployment
+    # would run bf16, not f32); BENCH_BASELINE_DTYPE=float32 reverts to the
+    # round-1 comparison.
     vs = 1.0
     if run_baseline:
-        variables_dev = jax.device_put(
-            {"params": variables["params"], "qparams": variables["qparams"]}, dev
-        )
-        fp32_step = make_step("fp32")
-        t_fp32 = _time(fp32_step, variables_dev, iters)
-        vs = round(t_fp32 / t_packed, 3)
+        base_vars = {"params": variables["params"], "qparams": variables["qparams"]}
+        if baseline_dtype not in ("float32", "f32"):
+            dt = jnp.dtype(baseline_dtype)
+            base_vars = {
+                "params": jax.tree.map(lambda a: a.astype(dt), base_vars["params"]),
+                "qparams": base_vars["qparams"],
+            }
+            base_step = make_step("fp32", in_dtype=dt)
+        else:
+            base_step = make_step("fp32")
+        variables_dev = jax.device_put(base_vars, dev)
+        t_base = _time(base_step, variables_dev, iters)
+        vs = round(t_base / t_packed, 3)
 
     print(json.dumps({
-        "metric": "resnet50_w8a8_packed_inference",
+        "metric": f"{model_name}_w{w_bits}a{a_bits}_packed_inference",
         "value": round(img_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": vs,

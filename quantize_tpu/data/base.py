@@ -91,6 +91,7 @@ class DataLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 0,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -98,6 +99,7 @@ class DataLoader:
         self.drop_last = bool(drop_last)
         self._epoch = 0
         self._seed = seed
+        self.num_workers = int(num_workers)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -105,7 +107,7 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def __iter__(self):
+    def _batch_indices(self):
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -116,7 +118,35 @@ class DataLoader:
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            yield self.dataset.get_batch(idx)
+            yield idx
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for idx in self._batch_indices():
+                yield self.dataset.get_batch(idx)
+            return
+        # worker-pipelined batch assembly: keep num_workers get_batch calls
+        # in flight (the reference's torch DataLoader num_workers,
+        # ``dataset/loader.py:14-37``, as a thread pool — image decode
+        # releases the GIL so threads scale for this workload)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: deque = deque()
+            it = self._batch_indices()
+            try:
+                for _ in range(self.num_workers):
+                    pending.append(pool.submit(self.dataset.get_batch, next(it)))
+            except StopIteration:
+                it = iter(())
+            while pending:
+                batch = pending.popleft().result()
+                try:
+                    pending.append(pool.submit(self.dataset.get_batch, next(it)))
+                except StopIteration:
+                    pass
+                yield batch
 
 
 def build_dataset(cfg: Any, split_cfg: Any, transform=None) -> ArrayDataset:
@@ -145,5 +175,6 @@ def build_dataloader(cfg: Any, which: str, transform=None) -> Optional[DataLoade
             "batch_size": getattr(loader_cfg, "batch_size", None) or 128,
             "shuffle": bool(getattr(loader_cfg, "shuffle", False)),
             "drop_last": bool(getattr(loader_cfg, "drop_last", False)),
+            "num_workers": int(getattr(loader_cfg, "num_workers", None) or 0),
         }
     return DataLoader(ds, seed=getattr(cfg, "seed", None) or 0, **kw)

@@ -9,6 +9,7 @@ at the index level (images decode on demand).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -17,6 +18,22 @@ from PIL import Image
 from .base import DATASETS
 
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+_DECODE_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _decode_pool() -> Optional[ThreadPoolExecutor]:
+    """Shared decode pool (Pillow releases the GIL during JPEG decode, so
+    threads scale; the reference used torch DataLoader worker *processes*,
+    ``dataset/loader.py:14-37``). QTPU_DECODE_WORKERS=0 disables."""
+    global _DECODE_POOL
+    workers = int(os.environ.get("QTPU_DECODE_WORKERS", min(32, os.cpu_count() or 8)))
+    if workers <= 1:
+        return None
+    if _DECODE_POOL is None or _DECODE_POOL._max_workers != workers:
+        _DECODE_POOL = ThreadPoolExecutor(max_workers=workers,
+                                          thread_name_prefix="qtpu-decode")
+    return _DECODE_POOL
 
 
 class FolderDataset:
@@ -50,11 +67,16 @@ class FolderDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
+    def _decode(self, i: int) -> np.ndarray:
+        with Image.open(self.paths[int(i)]) as im:
+            return np.asarray(im.convert("RGB"))
+
     def get_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        imgs = []
-        for i in indices:
-            with Image.open(self.paths[int(i)]) as im:
-                imgs.append(np.asarray(im.convert("RGB")))
+        pool = _decode_pool()
+        if pool is not None and len(indices) > 1:
+            imgs = list(pool.map(self._decode, indices))
+        else:
+            imgs = [self._decode(i) for i in indices]
         batch = imgs
         if self.transform is not None:
             # transforms handle ragged sizes via per-image PIL ops

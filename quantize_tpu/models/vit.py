@@ -18,6 +18,14 @@ import jax.numpy as jnp
 from ..nn.attention import QuantMultiheadAttention
 from ..nn.intercept import QuantCtx
 from ..nn.layers import QuantConv, QuantDense
+from ..nn.precision import packed_carry_dtype
+
+
+def _compute_dtype(mode: str):
+    """Packed inference computes float glue ops (LayerNorm, residuals,
+    embeddings) in the carry dtype so inter-layer HBM traffic stays halved;
+    other modes keep flax's default f32 promotion."""
+    return packed_carry_dtype() if mode == "packed" else None
 
 
 class MLPBlock(nn.Module):
@@ -44,14 +52,15 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
+        dt = _compute_dtype(mode)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="ln_1")(x)
         h = QuantMultiheadAttention(
             self.hidden_dim, self.num_heads,
             quant=self.ctx.resolve(f"{self.qpath}/self_attention", "nn_multiheadattention"),
             name="self_attention",
         )(h, mode=mode)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="ln_2")(x)
         h = MLPBlock(self.ctx, f"{self.qpath}/mlp", self.mlp_dim, self.hidden_dim,
                      name="mlp")(h, mode=mode)
         return x + h
@@ -79,11 +88,14 @@ class VisionTransformer(nn.Module):
         x = x.reshape(n, -1, self.hidden_dim)  # (N, patches, D)
 
         cls = self.param("class_token", nn.initializers.zeros, (1, 1, self.hidden_dim))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.hidden_dim)), x], axis=1)
+        dt = _compute_dtype(mode)
+        if dt is not None:
+            cls = cls.astype(dt)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.hidden_dim)).astype(x.dtype), x], axis=1)
         seq_len = x.shape[1]
         pos = self.param("pos_embedding", nn.initializers.normal(0.02),
                          (1, seq_len, self.hidden_dim))
-        x = x + pos
+        x = x + (pos.astype(dt) if dt is not None else pos)
 
         for i in range(self.num_layers):
             x = EncoderBlock(
@@ -91,7 +103,7 @@ class VisionTransformer(nn.Module):
                 self.num_heads, self.hidden_dim, self.mlp_dim,
                 name=f"encoder_layer_{i}",
             )(x, mode=mode)
-        x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=_compute_dtype(mode), name="ln")(x)
         x = x[:, 0]
         return QuantDense(self.num_classes, quant=self.ctx.resolve("/heads/head", "nn_linear"),
                           name="head")(x, mode=mode)

@@ -41,6 +41,48 @@ def _proj_cfg(quant: LayerQuantCfg, force_mse: bool = False,
                          bias_correct=quant.bias_correct)
 
 
+def _fused_qkv_packed(x, mods, pc: LayerQuantCfg):
+    """Run the three q/k/v projections as ONE fused int8 matmul in packed
+    mode (packed analog of the reference's fused ``in_proj_weight``,
+    ``quantmultiheadattention.py:97-104``).
+
+    q/k/v share the same quant config and the same input, so their
+    activation qparams are identical and per-out-channel weight params
+    concatenate exactly; fusing reads the activation once instead of three
+    times and feeds the MXU one (K, 3N) matmul. Returns None when the layout
+    isn't fusable (weight-only, per-channel activations, odd K for int4) —
+    the caller falls back to per-projection execution."""
+    from ..nn.precision import packed_carry_dtype
+    from ..ops.pallas.qmatmul import quant_matmul_w4a8, quant_matmul_w8a8
+    from ..quant.qspec import QuantSpec
+
+    w_spec = QuantSpec.from_config(dict(pc.weight), "weight", channel_axis=-1)
+    a_spec = QuantSpec.from_config(dict(pc.activation), "activation", channel_axis=-1)
+    if not (w_spec.enabled and a_spec.enabled and not a_spec.per_channel):
+        return None
+    if w_spec.range_name == "awq":
+        return None  # AWQ deploys weight-only per projection
+    bufs = [m.packed_proj_buffers() for m in mods]
+    p4 = "w_p4" in bufs[0]
+    w_key = "w_p4" if p4 else "w_int"
+    if any(w_key not in b or "a_scale" not in b for b in bufs):
+        return None
+    W = jnp.concatenate([b[w_key] for b in bufs], axis=1)
+    cat = lambda key: jnp.concatenate(  # noqa: E731
+        [jnp.asarray(b[key]).reshape(-1) for b in bufs])
+    w_scale, w_zero, bias, col_sum = (cat("w_scale"), cat("w_zero"),
+                                      cat("bias"), cat("col_sum"))
+    a_scale = bufs[0]["a_scale"].reshape(())
+    a_zero = bufs[0]["a_zero"].reshape(())
+    wz0 = bool(w_spec.symmetric and w_spec.qmin < 0)
+    fn = quant_matmul_w4a8 if p4 else quant_matmul_w8a8
+    qkv = fn(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
+             W, w_scale, w_zero, bias, col_sum, w_zero_is_zero=wz0)
+    qkv = qkv.astype(packed_carry_dtype())
+    n = w_scale.shape[0] // 3
+    return qkv[..., :n], qkv[..., n:2 * n], qkv[..., 2 * n:]
+
+
 class QuantMultiheadAttention(nn.Module):
     """Self-attention with quantized projections (batch, seq, embed)."""
 
@@ -61,9 +103,19 @@ class QuantMultiheadAttention(nn.Module):
         b, s, _ = x.shape
 
         pc = _proj_cfg(self.quant)
-        q = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="q_proj")(x, mode=mode)
-        k = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="k_proj")(x, mode=mode)
-        v = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="v_proj")(x, mode=mode)
+        q_mod = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="q_proj")
+        k_mod = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="k_proj")
+        v_mod = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="v_proj")
+
+        fused = None
+        if mode == "packed":
+            fused = _fused_qkv_packed(x, (q_mod, k_mod, v_mod), pc)
+        if fused is not None:
+            q, k, v = fused
+        else:
+            q = q_mod(x, mode=mode)
+            k = k_mod(x, mode=mode)
+            v = v_mod(x, mode=mode)
 
         def split(t):
             return t.reshape(b, s, self.num_heads, head_dim).transpose(0, 2, 1, 3)

@@ -181,8 +181,19 @@ class _QuantLayerBase(nn.Module):
             shift = (1 << (w_spec.n_bits - 1)) if w_spec.qmin >= 0 else 0
             q_i8 = (q - shift).astype(jnp.int8)
             w_zero = jnp.asarray(w_zero, jnp.float32) + shift
-            pv("w_scale", jnp.broadcast_to(jnp.asarray(w_scale, jnp.float32).reshape(-1), (n_out,)))
-            pv("w_zero", jnp.broadcast_to(w_zero.reshape(-1), (n_out,)))
+            w_scale = jnp.asarray(w_scale, jnp.float32).reshape(-1)
+            w_zero = w_zero.reshape(-1)
+            if w_scale.size in (1, n_out):
+                # per-layer/per-out-channel: broadcast to (n_out,)
+                w_scale = jnp.broadcast_to(w_scale, (n_out,))
+                w_zero = jnp.broadcast_to(w_zero, (n_out,))
+            # else: AWQ q_group_size grid — (n_out * K/g,) group scales stay
+            pv("w_scale", w_scale)
+            pv("w_zero", w_zero)
+            awq = w_quantizer(kernel, mode="awq_vector")
+            if awq is not None:
+                # deploy dequant divides rows by awq: store the reciprocal
+                pv("awq_recip", 1.0 / jnp.asarray(awq, jnp.float32))
             store_weight(pv, q_i8)
 
         if a_spec.enabled:
@@ -234,7 +245,11 @@ class QuantDense(_QuantLayerBase):
 
         w_scale = self.get_variable("packed", "w_scale")
         w_zero = self.get_variable("packed", "w_zero")
-        fusable = a_spec.enabled and not a_spec.per_channel
+        has_awq = self.has_variable("packed", "awq_recip")
+        # symmetric signed weights pack with zero == 0 exactly (no grid
+        # shift), so the rowsum(A) correction terms vanish statically
+        wz0 = bool(w_spec.symmetric and w_spec.qmin < 0)
+        fusable = a_spec.enabled and not a_spec.per_channel and not has_awq
         if fusable:
             a_scale = self.get_variable("packed", "a_scale").reshape(())
             a_zero = self.get_variable("packed", "a_zero").reshape(())
@@ -243,12 +258,14 @@ class QuantDense(_QuantLayerBase):
                 col_sum = (self.get_variable("packed", "col_sum")
                            if self.has_variable("packed", "col_sum") else None)
                 return quant_matmul_w4a8(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
-                                         w_p4, w_scale, w_zero, bias, col_sum)
+                                         w_p4, w_scale, w_zero, bias, col_sum,
+                                         w_zero_is_zero=wz0)
             w_int = self.get_variable("packed", "w_int")
             col_sum = self.get_variable("packed", "col_sum")
             return quant_matmul_w8a8(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
-                                     w_int, w_scale, w_zero, bias, col_sum)
-        # weight-only (or per-channel-activation fallback)
+                                     w_int, w_scale, w_zero, bias, col_sum,
+                                     w_zero_is_zero=wz0)
+        # weight-only (or per-channel-activation / AWQ fallback)
         if p4:
             from ..ops.pallas.qmatmul import unpack_int4_splithalf
 
@@ -256,7 +273,29 @@ class QuantDense(_QuantLayerBase):
         else:
             w_int = self.get_variable("packed", "w_int")
         xq = self._packed_act(x, a_spec) if a_spec.enabled else x
-        return quant_matmul_wo(xq, w_int, w_scale, w_zero, bias)
+        awq_recip = self.get_variable("packed", "awq_recip") if has_awq else None
+        group = 0
+        if has_awq and w_spec.range_name == "awq":
+            g = int(dict(w_spec.range_kwargs).get("q_group_size", -1) or -1)
+            group = g if g > 0 else 0
+        return quant_matmul_wo(xq, w_int, w_scale, w_zero, bias,
+                               awq_recip=awq_recip, group_size=group)
+
+    def packed_proj_buffers(self) -> dict:
+        """Export this layer's deploy buffers so a parent module can run
+        several sibling projections as ONE fused matmul (used by
+        :class:`~quantize_tpu.nn.attention.QuantMultiheadAttention` to fuse
+        q/k/v — the packed analog of the reference's fused ``in_proj_weight``,
+        ``quantmultiheadattention.py:97-104``)."""
+        out = {
+            "bias": self.get_variable("packed", "bias"),
+            "w_scale": self.get_variable("packed", "w_scale"),
+            "w_zero": self.get_variable("packed", "w_zero"),
+        }
+        for name in ("w_int", "w_p4", "col_sum", "a_scale", "a_zero"):
+            if self.has_variable("packed", name):
+                out[name] = self.get_variable("packed", name)
+        return out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
@@ -340,6 +379,10 @@ class QuantConv(_QuantLayerBase):
             out = self._conv(xq, kernel) + bias
             return (out, None) if self.return_qinput else out
 
+        if self.has_variable("packed", "awq_recip"):
+            raise NotImplementedError(
+                "AWQ packed deploy is implemented for dense layers only "
+                "(the reference applies AWQ to linear/attention layers)")
         w_scale = self.get_variable("packed", "w_scale")
         w_zero = self.get_variable("packed", "w_zero")
         if self.has_variable("packed", "w_p4c"):
@@ -363,7 +406,10 @@ class QuantConv(_QuantLayerBase):
             out = quant_conv2d(
                 x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
                 w_int, w_scale, w_zero, bias,
-                w_zero_is_zero=bool(w_spec.symmetric), corr_a=corr_a,
+                # zero==0 exactly only for symmetric *signed* grids (unsigned
+                # symmetric packs with a +2^(b-1) shift folded into w_zero)
+                w_zero_is_zero=bool(w_spec.symmetric and w_spec.qmin < 0),
+                corr_a=corr_a,
                 pre_q=(q_a, z_eff), **conv_kw,
             )
             if self.return_qinput:

@@ -157,13 +157,33 @@ class Quantizer(nn.Module):
 
         if mode == "pack":
             # Quantize to the integer grid with the layer's rounding
-            # (AdaRound-aware) and return (q, scale·static, zero).
-            if spec.range_name == "awq":
-                raise NotImplementedError("AWQ does not support packed mode")
-            q = quantize_core(x, s, z, spec.qmin, spec.qmax, spec.channel_axis, round_fn)
+            # (AdaRound-aware) and return (q, scale·static, zero). AWQ packs
+            # the *pre-scaled* weight Q(w·awq) — the layer stores 1/awq and
+            # folds it into the dequant (weight-only deploy, the same layout
+            # llm-serving AWQ kernels use; the reference never shipped this,
+            # ``quantizer.py:228-246`` packs non-AWQ only).
             ss = self._static_scale(x)
+            g = self._awq_group()
+            if awq_scale is not None:
+                aws_b = broadcast_to_axis(awq_scale, x.ndim, self.awq_in_axis)
+                xs = x * aws_b
+                if g:
+                    wg = xs.T.reshape(-1, g)
+                    q = quantize_core(wg, s, z, spec.qmin, spec.qmax,
+                                      channel_axis=0, round_fn=round_fn)
+                    q = q.reshape(xs.shape[1], xs.shape[0]).T
+                else:
+                    q = quantize_core(xs, s, z, spec.qmin, spec.qmax,
+                                      spec.channel_axis, round_fn)
+                eff = s if ss is None else s * ss
+                return jax.lax.stop_gradient(q), eff, z
+            q = quantize_core(x, s, z, spec.qmin, spec.qmax, spec.channel_axis, round_fn)
             eff = s if ss is None else s * ss
             return jax.lax.stop_gradient(q), eff, z
+
+        if mode == "awq_vector":
+            # bound-method query used by the owning layer at pack time
+            return awq_scale
 
         if mode != "quant":
             raise ValueError(f"unknown quantizer mode {mode!r}")

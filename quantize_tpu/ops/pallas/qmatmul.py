@@ -84,34 +84,41 @@ def quantize_act_int8(x: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _w8a8_kernel(a_ref, w_ref, sca_ref, colw_ref, ws_ref, wz_ref, bias_ref,
-                 out_ref, acc_ref, rs_ref, *, n_k: int, k_total: int):
+                 out_ref, acc_ref, rs_ref, *, n_k: int, k_total: int,
+                 w_zero_is_zero: bool = False):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        rs_ref[:] = jnp.zeros_like(rs_ref)
+        if not w_zero_is_zero:
+            rs_ref[:] = jnp.zeros_like(rs_ref)
 
     a = a_ref[:]
     acc_ref[:] += jnp.dot(a, w_ref[:], preferred_element_type=jnp.int32)
-    rs_ref[:] += jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)
+    if not w_zero_is_zero:
+        rs_ref[:] += jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)
 
     @pl.when(kk == n_k - 1)
     def _():
         a_scale = sca_ref[0, 0]
         a_zero = sca_ref[0, 1]
         acc = acc_ref[:].astype(jnp.float32)
-        rs = rs_ref[:].astype(jnp.float32)
         colw = colw_ref[:].astype(jnp.float32)
-        wz = wz_ref[:]
-        corrected = acc + a_zero * colw + wz * rs + k_total * a_zero * wz
+        corrected = acc + a_zero * colw
+        if not w_zero_is_zero:
+            rs = rs_ref[:].astype(jnp.float32)
+            wz = wz_ref[:]
+            corrected = corrected + wz * rs + k_total * a_zero * wz
         out = a_scale * ws_ref[:] * corrected + bias_ref[:]
         out_ref[:] = out
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                              "w_zero_is_zero"))
 def _w8a8_call(q_a, w_int, scalars, col_sum_w, w_scale, w_zero, bias,
-               block_m: int = 256, block_n: int = 256, block_k: int = 512):
+               block_m: int = 256, block_n: int = 256, block_k: int = 512,
+               w_zero_is_zero: bool = False):
     m, k = q_a.shape
     n = w_int.shape[1]
     bm, bn, bk = min(block_m, m), min(block_n, n), min(block_k, k)
@@ -128,7 +135,8 @@ def _w8a8_call(q_a, w_int, scalars, col_sum_w, w_scale, w_zero, bias,
     n_k = kp // bk
     grid = (mp // bm, np_ // bn, n_k)
     out = pl.pallas_call(
-        functools.partial(_w8a8_kernel, n_k=n_k, k_total=k),
+        functools.partial(_w8a8_kernel, n_k=n_k, k_total=k,
+                          w_zero_is_zero=w_zero_is_zero),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
@@ -169,16 +177,23 @@ def quant_matmul_w8a8(
     w_zero: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     col_sum_w: Optional[jnp.ndarray] = None,
+    w_zero_is_zero: bool = False,
+    pre_q=None,
 ) -> jnp.ndarray:
     """Fused W8A8 matmul. ``x``: (..., K) float; ``w_int``: (K, N) int8."""
     if _MATMUL_BACKEND == "xla":
         return quant_matmul_w8a8_xla(x, a_scale, a_zero, a_qmin, a_qmax,
-                                     w_int, w_scale, w_zero, bias, col_sum_w)
+                                     w_int, w_scale, w_zero, bias, col_sum_w,
+                                     w_zero_is_zero, pre_q)
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = w_int.shape[1]
-    x2 = x.reshape(-1, k)
-    q_a, z_eff = quantize_act_int8(x2, a_scale, a_zero, a_qmin, a_qmax)
+    if pre_q is not None:
+        q_a, z_eff = pre_q
+        q_a = q_a.reshape(-1, k)
+    else:
+        q_a, z_eff = quantize_act_int8(x.reshape(-1, k), a_scale, a_zero,
+                                       a_qmin, a_qmax)
     if col_sum_w is None:
         col_sum_w = jnp.sum(w_int.astype(jnp.int32), axis=0)
     scalars = jnp.stack([jnp.asarray(a_scale, jnp.float32).reshape(()),
@@ -186,7 +201,7 @@ def quant_matmul_w8a8(
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
     out = _w8a8_call(q_a, w_int.astype(jnp.int8), scalars, col_sum_w,
-                     w_scale, w_zero, bias)
+                     w_scale, w_zero, bias, w_zero_is_zero=w_zero_is_zero)
     return out.reshape(*lead, n)
 
 
@@ -211,14 +226,16 @@ def unpack_int4_splithalf(p: jnp.ndarray) -> jnp.ndarray:
 
 
 def _w4a8_kernel(a_lo_ref, a_hi_ref, wp_ref, sca_ref, ws_ref, wz_ref, bias_ref,
-                 out_ref, acc_ref, rs_ref, csum_ref, *, n_k: int, k_total: int):
+                 out_ref, acc_ref, rs_ref, csum_ref, *, n_k: int, k_total: int,
+                 w_zero_is_zero: bool = False):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        rs_ref[:] = jnp.zeros_like(rs_ref)
         csum_ref[:] = jnp.zeros_like(csum_ref)
+        if not w_zero_is_zero:
+            rs_ref[:] = jnp.zeros_like(rs_ref)
 
     # Mosaic has no i8 vector shifts — widen to i32, shift there, narrow back.
     # low nibble sign-extension: ((v & 15) ^ 8) - 8; high nibble: arithmetic
@@ -230,26 +247,31 @@ def _w4a8_kernel(a_lo_ref, a_hi_ref, wp_ref, sca_ref, ws_ref, wz_ref, bias_ref,
     a_hi = a_hi_ref[:]
     acc_ref[:] += jnp.dot(a_lo, w_lo, preferred_element_type=jnp.int32)
     acc_ref[:] += jnp.dot(a_hi, w_hi, preferred_element_type=jnp.int32)
-    rs_ref[:] += jnp.sum(a_lo.astype(jnp.int32), axis=1, keepdims=True)
-    rs_ref[:] += jnp.sum(a_hi.astype(jnp.int32), axis=1, keepdims=True)
     csum_ref[:] += jnp.sum(w_lo.astype(jnp.int32), axis=0, keepdims=True)
     csum_ref[:] += jnp.sum(w_hi.astype(jnp.int32), axis=0, keepdims=True)
+    if not w_zero_is_zero:
+        rs_ref[:] += jnp.sum(a_lo.astype(jnp.int32), axis=1, keepdims=True)
+        rs_ref[:] += jnp.sum(a_hi.astype(jnp.int32), axis=1, keepdims=True)
 
     @pl.when(kk == n_k - 1)
     def _():
         a_scale = sca_ref[0, 0]
         a_zero = sca_ref[0, 1]
         acc = acc_ref[:].astype(jnp.float32)
-        rs = rs_ref[:].astype(jnp.float32)
         colw = csum_ref[:].astype(jnp.float32)
-        wz = wz_ref[:]
-        corrected = acc + a_zero * colw + wz * rs + k_total * a_zero * wz
+        corrected = acc + a_zero * colw
+        if not w_zero_is_zero:
+            rs = rs_ref[:].astype(jnp.float32)
+            wz = wz_ref[:]
+            corrected = corrected + wz * rs + k_total * a_zero * wz
         out_ref[:] = a_scale * ws_ref[:] * corrected + bias_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                              "w_zero_is_zero"))
 def _w4a8_call(q_a, w_packed, scalars, w_scale, w_zero, bias,
-               block_m: int = 256, block_n: int = 256, block_k: int = 256):
+               block_m: int = 256, block_n: int = 256, block_k: int = 256,
+               w_zero_is_zero: bool = False):
     """q_a: (M, K) int8; w_packed: (K/2, N) int8 split-half nibbles."""
     m, k = q_a.shape
     kh = k // 2
@@ -273,7 +295,8 @@ def _w4a8_call(q_a, w_packed, scalars, w_scale, w_zero, bias,
     n_k = khp // bk
     grid = (mp // bm, np_ // bn, n_k)
     out = pl.pallas_call(
-        functools.partial(_w4a8_kernel, n_k=n_k, k_total=k),
+        functools.partial(_w4a8_kernel, n_k=n_k, k_total=k,
+                          w_zero_is_zero=w_zero_is_zero),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
@@ -316,6 +339,8 @@ def quant_matmul_w4a8(
     w_zero: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     col_sum_w: Optional[jnp.ndarray] = None,
+    w_zero_is_zero: bool = False,
+    pre_q=None,
 ) -> jnp.ndarray:
     """Fused W4A8 matmul over split-half packed weights ((K/2, N) int8)."""
     if _MATMUL_BACKEND == "xla":
@@ -324,17 +349,23 @@ def quant_matmul_w4a8(
         # epilogue into consumers — no pallas_call fusion barrier
         w_int = unpack_int4_splithalf(w_packed)
         return quant_matmul_w8a8_xla(x, a_scale, a_zero, a_qmin, a_qmax,
-                                     w_int, w_scale, w_zero, bias, col_sum_w)
+                                     w_int, w_scale, w_zero, bias, col_sum_w,
+                                     w_zero_is_zero, pre_q)
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = w_packed.shape[1]
-    x2 = x.reshape(-1, k)
-    q_a, z_eff = quantize_act_int8(x2, a_scale, a_zero, a_qmin, a_qmax)
+    if pre_q is not None:
+        q_a, z_eff = pre_q
+        q_a = q_a.reshape(-1, k)
+    else:
+        q_a, z_eff = quantize_act_int8(x.reshape(-1, k), a_scale, a_zero,
+                                       a_qmin, a_qmax)
     scalars = jnp.stack([jnp.asarray(a_scale, jnp.float32).reshape(()),
                          z_eff.reshape(())]).reshape(1, 2)
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
-    out = _w4a8_call(q_a, w_packed.astype(jnp.int8), scalars, w_scale, w_zero, bias)
+    out = _w4a8_call(q_a, w_packed.astype(jnp.int8), scalars, w_scale, w_zero,
+                     bias, w_zero_is_zero=w_zero_is_zero)
     return out.reshape(*lead, n)
 
 
@@ -396,20 +427,44 @@ def _wo_call(x, w_int, w_scale, w_zero, bias,
     return out[:m, :n]
 
 
+def _dequant_weight(w_int, w_scale, w_zero, awq_recip=None, group_size: int = 0):
+    """Elementwise weight dequant supporting AWQ deploy layouts.
+
+    ``group_size`` > 0: ``w_scale``/``w_zero`` hold (N * K/g,) per-group
+    values laid out groups-along-K per out column (the reference AWQ
+    ``q_group_size`` grid, ``awq.py:119-121``). ``awq_recip`` (K,) folds the
+    1/awq_scale in-channel divisor into the dequantized weight."""
+    k_dim, n = w_int.shape
+    w = w_int.astype(jnp.float32)
+    if group_size:
+        s_elem = jnp.repeat(w_scale.reshape(n, k_dim // group_size), group_size, axis=1).T
+        z_elem = jnp.repeat(w_zero.reshape(n, k_dim // group_size), group_size, axis=1).T
+        w_deq = (w + z_elem) * s_elem
+    else:
+        w_deq = (w + w_zero.reshape(1, -1)) * w_scale.reshape(1, -1)
+    if awq_recip is not None:
+        w_deq = w_deq * awq_recip.reshape(-1, 1)
+    return w_deq
+
+
 def quant_matmul_wo(
     x: jnp.ndarray,
     w_int: jnp.ndarray,
     w_scale: jnp.ndarray,
     w_zero: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    awq_recip: Optional[jnp.ndarray] = None,
+    group_size: int = 0,
 ) -> jnp.ndarray:
     """Weight-only quantized matmul: float acts x int8-stored weights."""
     lead = x.shape[:-1]
     n = w_int.shape[1]
-    if _MATMUL_BACKEND == "xla":
+    if _MATMUL_BACKEND == "xla" or awq_recip is not None or group_size:
         # dequantize the (small) weight elementwise; matmul in bf16 on TPU
-        # (f32 accumulate), f32 elsewhere for test determinism
-        w_deq = (w_int.astype(jnp.float32) + w_zero.reshape(1, -1)) * w_scale.reshape(1, -1)
+        # (f32 accumulate), f32 elsewhere for test determinism. AWQ/grouped
+        # layouts always take this path (the Pallas wo kernel models only
+        # per-out-channel scales).
+        w_deq = _dequant_weight(w_int, w_scale, w_zero, awq_recip, group_size)
         cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         x2 = x.reshape(-1, x.shape[-1])
         out = jax.lax.dot_general(
@@ -454,26 +509,40 @@ def matmul_backend() -> str:
 
 def quant_matmul_w8a8_xla(
     x, a_scale, a_zero, a_qmin, a_qmax, w_int, w_scale, w_zero,
-    bias=None, col_sum_w=None,
+    bias=None, col_sum_w=None, w_zero_is_zero: bool = False,
+    pre_q=None,
 ):
     """Same math via ``lax.dot_general(int8, int8) -> int32`` + fused epilogue.
 
     XLA hits the MXU int8 path natively; kept as a production alternative and
     as the baseline the Pallas kernel must beat.
+
+    ``w_zero_is_zero`` (static) drops the ``rowsum(A)`` correction terms —
+    with symmetric signed weights (the production default) they are exactly
+    zero, and skipping them removes a full reduce over the quantized
+    activation (device traces showed these reduces costing ~30% of the
+    ViT-B/16 W4A8 step). ``pre_q`` supplies an already-quantized
+    ``(q_a, z_eff)`` pair so one quantize can feed several matmuls.
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
-    x2 = x.reshape(-1, k)
-    q_a, z_eff = quantize_act_int8(x2, a_scale, a_zero, a_qmin, a_qmax)
+    if pre_q is not None:
+        q_a, z_eff = pre_q
+        q_a = q_a.reshape(-1, k)
+    else:
+        q_a, z_eff = quantize_act_int8(x.reshape(-1, k), a_scale, a_zero,
+                                       a_qmin, a_qmax)
     acc = jax.lax.dot_general(
         q_a, w_int.astype(jnp.int8), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
     if col_sum_w is None:
         col_sum_w = jnp.sum(w_int.astype(jnp.int32), axis=0)
-    rs = jnp.sum(q_a.astype(jnp.int32), axis=-1, keepdims=True).astype(jnp.float32)
-    wz = w_zero.reshape(1, -1)
-    corrected = acc + z_eff * col_sum_w.astype(jnp.float32)[None, :] + wz * rs + k * z_eff * wz
+    corrected = acc + z_eff * col_sum_w.astype(jnp.float32)[None, :]
+    if not w_zero_is_zero:
+        rs = jnp.sum(q_a.astype(jnp.int32), axis=-1, keepdims=True).astype(jnp.float32)
+        wz = w_zero.reshape(1, -1)
+        corrected = corrected + wz * rs + k * z_eff * wz
     out = jnp.asarray(a_scale, jnp.float32) * w_scale.reshape(1, -1) * corrected
     if bias is not None:
         out = out + bias

@@ -117,6 +117,21 @@ class BasicRunner:
         return fn(self.variables, jnp.asarray(batch["img"]))
 
     # -- loops ------------------------------------------------------------
+    def _prefetch(self, loader, prefetch: int = 2):
+        """Iterate ``loader`` with padding + background host->device
+        prefetch, so host IO overlaps device compute
+        (:mod:`quantize_tpu.parallel.input_pipeline`)."""
+        from ..parallel.input_pipeline import PrefetchIterator
+
+        bs = loader.batch_size
+
+        def gen():
+            for batch in loader:
+                yield pad_batch(batch, bs)
+
+        return PrefetchIterator(gen(), mesh=getattr(self, "mesh", None),
+                                prefetch=prefetch)
+
     def run(self) -> None:
         """Train loop (reference ``runner/base.py:108-147``)."""
         assert self.train_loader is not None, "runner.run() needs a train loader"
@@ -128,8 +143,7 @@ class BasicRunner:
         for epoch in range(self.max_epoch):
             loss_m, acc_m = MovingAverageMeter(), MovingAverageMeter()
             t0 = time.time()
-            for bi, batch in enumerate(self.train_loader):
-                batch = pad_batch(batch, self.train_loader.batch_size)
+            for bi, batch in enumerate(self._prefetch(self.train_loader)):
                 loss, acc, n = self.train_step(batch, epoch, it, self.total_iters)
                 loss_m.update(loss)
                 acc_m.update(acc)
@@ -151,8 +165,7 @@ class BasicRunner:
         assert loader is not None
         correct = total = 0
         loss_sum = 0.0
-        for batch in loader:
-            batch = pad_batch(batch, loader.batch_size)
+        for batch in self._prefetch(loader):
             logits = self.eval_step(batch, quantized=quantized)
             labels = jnp.asarray(batch["label"])
             c, t = masked_topk_correct(logits, labels)

@@ -57,6 +57,9 @@ def main() -> None:
     ap.add_argument("--carry", default="bfloat16")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--wbits", type=int, default=8)
+    ap.add_argument("--abits", type=int, default=8)
     ap.add_argument("--mode", default="packed")
     ap.add_argument("--trace-dir", default="/tmp/qtpu_profile")
     ap.add_argument("--top", type=int, default=40)
@@ -69,7 +72,8 @@ def main() -> None:
 
     import bench
 
-    model, variables, deploy = bench._build_on_cpu(args.size)
+    model, variables, deploy = bench._build_on_cpu(
+        args.size, args.model, args.wbits, args.abits)
     dev = jax.devices()[0]
     print("device:", dev)
 

@@ -70,3 +70,88 @@ def test_folder_dataset_subclass_split(tmp_path):
     assert base.classnames == ["class0", "class1", "class2"]
     assert new.classnames == ["class3", "class4"]
     assert ds.select_subclass("all") is ds
+
+
+def test_dataloader_workers_preserve_order_and_content():
+    """num_workers>0 pipelines get_batch calls but must yield identical
+    batches in identical order to the serial loader."""
+    import numpy as np
+
+    from quantize_tpu.data.base import ArrayDataset, DataLoader
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.normal(size=(37, 4, 4, 3)).astype(np.float32),
+                      rng.integers(0, 5, size=37))
+    serial = list(DataLoader(ds, batch_size=8, shuffle=True, seed=3))
+    workers = list(DataLoader(ds, batch_size=8, shuffle=True, seed=3, num_workers=4))
+    assert len(serial) == len(workers)
+    for a, b in zip(serial, workers):
+        np.testing.assert_array_equal(a["img"], b["img"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_folder_dataset_threaded_decode(tmp_path):
+    """Thread-pool decode returns images in index order."""
+    import numpy as np
+    from PIL import Image
+
+    from quantize_tpu.data.imagenet import FolderDataset
+
+    root = tmp_path / "val"
+    d = root / "class0"
+    d.mkdir(parents=True)
+    for j in range(16):
+        Image.fromarray(np.full((8, 8, 3), j * 10, np.uint8)).save(d / f"{j:02d}.png")
+
+    ds = FolderDataset(str(root))
+    batch = ds.get_batch(np.arange(16))
+    for j in range(16):
+        assert batch["img"][j, 0, 0, 0] == j * 10
+
+
+def test_dataloader_decode_throughput(tmp_path):
+    """Loader microbenchmark: threaded decode must beat serial decode on a
+    multi-core host (VERDICT item 7 'done' criterion, scaled to CI size)."""
+    import os
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    from quantize_tpu.data import imagenet as inet
+
+    if (os.cpu_count() or 1) < 4:
+        import pytest
+
+        pytest.skip("needs >=4 cores")
+
+    root = tmp_path / "val"
+    d = root / "class0"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for j in range(64):
+        Image.fromarray(rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)).save(
+            d / f"{j:03d}.jpg", quality=90)
+
+    ds = inet.FolderDataset(str(root))
+    idx = np.arange(64)
+
+    old = os.environ.get("QTPU_DECODE_WORKERS")
+    try:
+        os.environ["QTPU_DECODE_WORKERS"] = "1"
+        ds.get_batch(idx)  # warm page cache
+        t0 = time.perf_counter()
+        ds.get_batch(idx)
+        t_serial = time.perf_counter() - t0
+
+        os.environ["QTPU_DECODE_WORKERS"] = str(min(16, os.cpu_count()))
+        ds.get_batch(idx)  # warm the pool
+        t0 = time.perf_counter()
+        ds.get_batch(idx)
+        t_pool = time.perf_counter() - t0
+    finally:
+        if old is None:
+            os.environ.pop("QTPU_DECODE_WORKERS", None)
+        else:
+            os.environ["QTPU_DECODE_WORKERS"] = old
+    assert t_pool < t_serial * 0.9, (t_serial, t_pool)

@@ -197,3 +197,31 @@ def test_cross_entropy_estimator_in_layer():
     variables = calibrated_apply(model, x)
     y = model.apply(variables, x, mode="quant")
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_awq_pack_matches_sim():
+    """AWQ packed deploy (Q(w*awq) ints + 1/awq folded into dequant) must
+    reproduce the simulated forward (closes the reference's latent
+    AWQ-cannot-pack limitation, quantizer.py:228-246)."""
+    from quantize_tpu.deploy import pack_model
+
+    for group in (0, 8):
+        rng = np.random.default_rng(20 + group)
+        x = jnp.asarray((rng.normal(size=(8, 32)) * 10 ** rng.uniform(-1, 1, 32)).astype(np.float32))
+        wcfg = {"n_bits": 4, "symmetric": True, "granularity": "channel",
+                "range": {"name": "awq", "grid": 8}}
+        if group:
+            wcfg["range"] = {"name": "awq", "grid": 8, "q_group_size": group}
+        cfg = LayerQuantCfg(
+            weight=wcfg,
+            activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                        "range": {"name": "minmax"}},
+        )
+        model = QuantDense(features=4, quant=cfg)
+        variables = calibrated_apply(model, x)
+        y_sim = model.apply(variables, x, mode="quant")
+        deploy = pack_model(model, variables, x)
+        assert "awq_recip" in deploy["packed"], "AWQ reciprocal must be stored"
+        y_packed = model.apply(deploy, x, mode="packed")
+        np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
+                                   rtol=2e-4, atol=2e-4)

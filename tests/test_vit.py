@@ -128,3 +128,36 @@ def test_vit_qat_gradient_step():
     # attention projection weights receive gradient
     attn_g = g["encoder_layer_0"]["self_attention"]["q_proj"]["kernel"]
     assert float(jnp.linalg.norm(attn_g)) > 0
+
+
+def _mha_cfg_bits(w_bits):
+    return LayerQuantCfg(
+        weight={"n_bits": w_bits, "symmetric": True, "granularity": "channel",
+                "range": {"name": "minmax"}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+
+
+def test_mha_packed_fused_qkv_matches_per_projection():
+    """Packed mode fuses q/k/v into one matmul; the result must equal the
+    per-projection packed execution (int8 accumulation is exact, so only
+    f32 epilogue rounding may differ)."""
+    import quantize_tpu.nn.attention as attn_mod
+
+    for w_bits in (8, 4):
+        rng = np.random.default_rng(w_bits)
+        x = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+        m = QuantMultiheadAttention(32, 4, quant=_mha_cfg_bits(w_bits))
+        v = calibrated(m, x)
+        deploy = pack_model(m, v, x)
+        y_fused = m.apply(deploy, x, mode="packed")
+
+        orig = attn_mod._fused_qkv_packed
+        attn_mod._fused_qkv_packed = lambda *a, **k: None
+        try:
+            y_sep = m.apply(deploy, x, mode="packed")
+        finally:
+            attn_mod._fused_qkv_packed = orig
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_sep),
+                                   rtol=1e-5, atol=1e-5)
