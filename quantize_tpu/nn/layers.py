@@ -74,6 +74,11 @@ class LayerQuantCfg:
 
 FP32 = LayerQuantCfg(weight={"n_bits": 32}, activation={"n_bits": 32})
 
+# tap-capture modes: sow the layer INPUT alongside the usual output tap,
+# computing in the mapped mode — used by block-wise AdaRound replay
+# (reference offloads hook-captured tensors to CPU, runner/adaround.py:131-136)
+_TAP_IO_MODES = {"tap_io": "fp32", "tap_io_quant": "quant"}
+
 
 def _maybe_corrector(cfg: LayerQuantCfg) -> Optional[BiasCorrect]:
     if cfg.bias_correct:
@@ -299,6 +304,9 @@ class QuantDense(_QuantLayerBase):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        if mode in _TAP_IO_MODES:
+            self.sow("taps", "in", x)
+            mode = _TAP_IO_MODES[mode]
         if mode == "packed":
             out = self._packed_forward(x).astype(packed_carry_dtype())
             self.sow("taps", "out", out)
@@ -427,6 +435,9 @@ class QuantConv(_QuantLayerBase):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+        if mode in _TAP_IO_MODES:
+            self.sow("taps", "in", x)
+            mode = _TAP_IO_MODES[mode]
         if mode == "packed":
             out = self._packed_forward(x)
             qin = None
@@ -480,6 +491,7 @@ class _ActQuantLayer(nn.Module):
     quant: LayerQuantCfg = FP32
 
     def _quantize_in(self, x: jnp.ndarray, mode: str) -> jnp.ndarray:
+        mode = _TAP_IO_MODES.get(mode, mode)  # act-only layers carry no V
         a_spec = QuantSpec.from_config(dict(self.quant.activation), "activation", channel_axis=-1)
         q = Quantizer(a_spec, name="a_quantizer")
         if mode == "calibrate":

@@ -5,23 +5,53 @@ Covers the reference ``AdaRound`` runner (``runner/adaround.py:14``):
 * lazy init — one calibrated + quantized forward instantiates the per-layer
   ``V`` offsets (``runner/adaround.py:125-129``), then an optimizer is built
   over ONLY those (``:44-72``);
-* each step runs two forwards — FP32 (with calibration still active,
-  reference sets calibrating=True for the original pass) capturing every
-  quant layer's output, then quantized capturing the same taps
-  (``:131-143``) — the forward hooks become the ``taps`` sow collection;
-* loss = Σ_layers MSE(quant, fp32) + Σ β-weighted rounding regularization
-  with β linearly annealed 20→2 after 20% warmup (``:103-119,145-159``).
+* loss = MSE(quant layer out, FP32 layer out) + β-weighted rounding
+  regularization with β linearly annealed 20→2 after 20% warmup
+  (``:103-119,145-159``).
+
+Two reconstruction modes (``cfg.runner.reconstruction``):
+
+* ``'blockwise'`` (default) — per-layer replay: ONE tap-capture pass per
+  batch caches every quant layer's (input, FP32 output) on the host (the
+  reference's ``.detach().cpu()`` offload, ``runner/adaround.py:131-136``),
+  then each layer's ``V`` is optimized alone against its cached pairs.
+  Device memory is one layer's tensors — constant in network depth, so
+  MobileNetV2 @ 224² fits a single chip's HBM.
+* ``'joint'`` — the reference's literal two-forwards-per-step scheme (FP32
+  + quantized in one jit, loss summed over all layers). Keeps full
+  cross-layer gradients but holds every tap for both passes plus the
+  backward in HBM at once.
 """
 from __future__ import annotations
 
+from typing import Dict, List, Tuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..optim import build_optimizer
 from ..quant.adaround import beta_schedule, regularization
-from .base import masked_topk_correct
+from .base import masked_topk_correct, pad_batch
 from .ptq import PTQ
+
+
+def _tree_get(tree, path: Tuple[str, ...]):
+    for p in path:
+        if tree is None or p not in tree:
+            return None
+        tree = tree[p]
+    return tree
+
+
+def _tree_set(tree: dict, path: Tuple[str, ...], value) -> dict:
+    """Return a copy of ``tree`` with ``value`` installed at ``path``."""
+    if not path:
+        return value
+    out = dict(tree)
+    out[path[0]] = _tree_set(dict(out.get(path[0], {})), path[1:], value)
+    return out
 
 
 class AdaRound(PTQ):
@@ -32,6 +62,11 @@ class AdaRound(PTQ):
         self.initialized = False
         self.opt_state = None
         self.tx = None
+
+    def _reconstruction(self) -> str:
+        mode = (self.cfg.runner.reconstruction if self.cfg.runner else None) or "blockwise"
+        assert mode in ("blockwise", "joint"), mode
+        return mode
 
     def _init_adaround(self, batch):
         img = jnp.asarray(batch["img"])
@@ -111,3 +146,123 @@ class AdaRound(PTQ):
             jnp.asarray(beta, jnp.float32),
         )
         return float(loss), float(acc), len(batch["label"])
+
+    # -- block-wise reconstruction -----------------------------------------
+    def _collect_layer_clones(self, img) -> Dict[Tuple[str, ...], object]:
+        """Map module path -> unbound clone for every quant layer that owns
+        AdaRound V offsets. Uses a zero-FLOP abstract trace
+        (``jax.eval_shape``) with a method interceptor, so no layer-specific
+        model knowledge is needed."""
+        import flax.linen as fnn
+
+        from ..nn.layers import QuantConv, QuantDense
+
+        clones: Dict[Tuple[str, ...], object] = {}
+
+        def interceptor(next_fn, args, kwargs, context):
+            mod = context.module
+            if (context.method_name == "__call__"
+                    and isinstance(mod, (QuantConv, QuantDense))):
+                clones.setdefault(tuple(mod.path), mod.clone(parent=None))
+            return next_fn(*args, **kwargs)
+
+        with fnn.intercept_methods(interceptor):
+            jax.eval_shape(
+                lambda v, x: self.model.apply(v, x, mode="quant"),
+                self.variables, img,
+            )
+        ada = self.variables.get("adaround", {})
+        return {p: c for p, c in clones.items()
+                if _tree_get(ada, p + ("w_quantizer", "V")) is not None}
+
+    def _layer_vars(self, path: Tuple[str, ...]) -> Dict[str, dict]:
+        lv = {}
+        for col in ("params", "qparams", "qobs", "adaround"):
+            sub = _tree_get(self.variables.get(col), path)
+            if sub is not None:
+                lv[col] = sub
+        return lv
+
+    def _blockwise_layer_step(self, clone, tx):
+        @jax.jit
+        def step(lv, opt_state, x_in, y_fp, beta):
+            def loss_fn(ada):
+                y = clone.apply({**lv, "adaround": ada}, x_in, mode="quant")
+                recon = jnp.mean((y - y_fp) ** 2)
+                reg = sum(regularization(v, beta) for v in jax.tree.leaves(ada))
+                return recon + reg
+
+            loss, grads = jax.value_and_grad(loss_fn)(lv["adaround"])
+            updates, opt_state = tx.update(grads, opt_state, lv["adaround"])
+            ada = optax.apply_updates(lv["adaround"], updates)
+            return ada, opt_state, loss
+
+        return step
+
+    def run(self) -> None:
+        if self._reconstruction() == "joint":
+            return super().run()
+        assert self.train_loader is not None, "AdaRound needs a train loader"
+        bs = self.train_loader.batch_size
+        first = pad_batch(next(iter(self.train_loader)), bs)
+        self.init_variables(first, seed=self.cfg.seed or 0)
+
+        # PTQ pre-pass: full calibration epoch before reconstruction
+        cal = self._calibrate_fn()
+        for batch in self._prefetch(self.train_loader):
+            updates, _, _ = cal(self.variables, jnp.asarray(batch["img"]),
+                                jnp.asarray(batch["label"]))
+            self.merge_updates(updates)
+        self._init_adaround(first)
+
+        img0 = jnp.asarray(first["img"])
+        clones = self._collect_layer_clones(img0)
+        self.logger.info(
+            f"adaround blockwise: {len(clones)} layers to reconstruct")
+
+        # phase 1: ONE tap-capture pass per batch; (input, fp32 out) pairs
+        # offloaded to host (reference runner/adaround.py:131-136)
+        model = self.model
+
+        def _cap(variables, img):
+            _, upd = model.apply(variables, img, mode="tap_io", mutable=["taps"])
+            return upd["taps"]
+
+        cap = jax.jit(_cap)
+        caches: List[dict] = []
+        for batch in self._prefetch(self.train_loader):
+            caches.append(jax.device_get(cap(self.variables, jnp.asarray(batch["img"]))))
+
+        # phase 2: per-layer V optimization against the cached pairs —
+        # device memory is one layer at a time, constant in depth
+        steps_total = self.max_epoch * max(len(caches), 1)
+        for li, (path, clone) in enumerate(clones.items()):
+            tap = _tree_get(caches[0], path)
+            if tap is None:
+                continue
+            tx = build_optimizer(self.cfg, steps_per_epoch=max(len(caches), 1))
+            lv = self._layer_vars(path)
+            ada = lv["adaround"]
+            opt_state = tx.init(ada)
+            step = self._blockwise_layer_step(clone, tx)
+            it = 0
+            loss = jnp.float32(0.0)
+            for epoch in range(self.max_epoch):
+                for cache in caches:
+                    t = _tree_get(cache, path)
+                    x_in, y_fp = t["in"][0], t["out"][0]
+                    beta = self._beta(it, steps_total)
+                    ada, opt_state, loss = step(
+                        lv, opt_state, jnp.asarray(x_in), jnp.asarray(y_fp),
+                        jnp.asarray(beta, jnp.float32))
+                    lv = {**lv, "adaround": ada}
+                    it += 1
+            # ada is the layer-local adaround subtree; install it wholesale
+            self.variables = {
+                **self.variables,
+                "adaround": _tree_set(dict(self.variables["adaround"]), path, ada),
+            }
+            self.logger.info(
+                f"adaround layer [{li + 1}/{len(clones)}] "
+                f"{'/'.join(path)}: loss {float(loss):.6f}")
+        self.update(self.max_epoch - 1)

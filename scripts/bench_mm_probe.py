@@ -39,7 +39,7 @@ def time_variant(name, fn, flops_per_call, *args):
     def step(seed, *a):
         def body(c, _):
             out = fn(c, *a)
-            return c + 1e-6 * jnp.sum(out[:1, :1]).astype(jnp.float32), ()
+            return c + 1e-6 * jnp.mean(out.astype(jnp.float32)), ()
         c, _ = jax.lax.scan(body, seed, None, length=CHAIN)
         return c
 

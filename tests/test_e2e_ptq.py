@@ -102,3 +102,77 @@ def test_clip_zeroshot_ptq_runner(tmp_path):
     })
     result = execute_runner(cfg)
     assert result is not None and np.isfinite(result["top1"])
+
+
+def _adaround_cfg(tmp_path, reconstruction, max_epoch=6):
+    quant_extra = {
+        "default": {
+            "weight": {"n_bits": 3, "symmetric": True, "signed": True,
+                       "granularity": "channel", "range": {"name": "minmax"},
+                       "adaround": {"apply": True}},
+            "activation": {"n_bits": 32},
+        }
+    }
+    cfg = base_cfg(tmp_path, runner="adaround", quant_extra=quant_extra,
+                   train_extra={"max_epoch": max_epoch})
+    cfg.merge_from_dict({"runner": {"beta": "dynamic",
+                                    "reconstruction": reconstruction},
+                         "optimizer": {"lr": 1e-2}})
+    return cfg
+
+
+def test_adaround_blockwise_improves_over_nearest(tmp_path):
+    """Block-wise per-layer replay (constant device memory in depth) must
+    still beat nearest rounding at W3 (reference runner/adaround.py:121-166
+    semantics, memory layout per SURVEY §7 'per-layer replay')."""
+    from quantize_tpu.runners import build_runner
+    from quantize_tpu.data.base import build_dataloader
+
+    cfg = _adaround_cfg(tmp_path / "bw", "blockwise")
+    loaders = [build_dataloader(cfg, w) for w in ("train", "val", "test")]
+    cfg.model.num_classes = loaders[0].dataset.num_classes
+    runner = build_runner(cfg, *loaders)
+    # nearest-rounding baseline: calibrate only, no V optimization
+    first = next(iter(loaders[0]))
+    runner.init_variables(first, seed=0)
+    cal = runner._calibrate_fn()
+    import jax.numpy as jnp
+    for batch in loaders[0]:
+        upd, _, _ = cal(runner.variables, jnp.asarray(batch["img"]),
+                        jnp.asarray(batch["label"]))
+        runner.merge_updates(upd)
+    nearest = runner.evaluate(loaders[2], quantized=True)["top1"]
+    runner.run()
+    ada = runner.evaluate(loaders[2], quantized=True)["top1"]
+    assert ada >= nearest - 1e-6, f"blockwise adaround {ada} < nearest {nearest}"
+
+
+def test_adaround_joint_mode_still_runs(tmp_path):
+    cfg = _adaround_cfg(tmp_path / "joint", "joint", max_epoch=2)
+    result = execute_runner(cfg)
+    assert result is not None and np.isfinite(result["top1"])
+
+
+def test_adaround_blockwise_mobilenet_smoke(tmp_path):
+    """Blockwise replay must handle real CNN topologies (depthwise convs,
+    residuals) — MobileNetV2 at tiny resolution."""
+    quant_extra = {
+        "default": {
+            "weight": {"n_bits": 4, "symmetric": True, "signed": True,
+                       "granularity": "channel", "range": {"name": "minmax"},
+                       "adaround": {"apply": True}},
+            "activation": {"n_bits": 32},
+        }
+    }
+    cfg = base_cfg(tmp_path, runner="adaround", quant_extra=quant_extra,
+                   train_extra={"max_epoch": 1})
+    cfg.merge_from_dict({
+        "runner": {"beta": "dynamic", "reconstruction": "blockwise"},
+        "model": {"name": "mobilenet_v2"},
+        "train_dataset": {"n": 64, "image_size": 32},
+        "val_dataset": {"n": 32, "image_size": 32},
+        "test_dataset": {"n": 32, "image_size": 32},
+        "train_loader": {"batch_size": 32},
+    })
+    result = execute_runner(cfg)
+    assert result is not None and np.isfinite(result["top1"])
