@@ -51,6 +51,7 @@ MODELS.register_dict(CLIP_MODELS)
 
 _RESERVED_MODEL_KEYS = {
     "name", "num_classes", "classnames", "prompts", "checkpoint", "pretrained",
+    "torch_checkpoint",
 }
 
 

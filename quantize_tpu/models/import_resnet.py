@@ -13,7 +13,8 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from .import_torch import StateDict, import_conv_bn, import_linear
+from .import_torch import (StateDict, get_node, import_conv_bn,
+                           import_linear, set_leaf)
 
 
 def _bn_to_flax(bn: Dict[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
@@ -41,20 +42,20 @@ def import_resnet(
 
     def put_conv(our: str, conv_key: str, bn_key: Optional[str]):
         out = import_conv_bn(sd, conv_key, bn_key, fold_bn, into_scale)
-        node = _node(params, our)
-        node["kernel"] = out["kernel"]
+        set_leaf(params, f"{our}/kernel", out["kernel"])
         if "bias" in out:
-            node["bias"] = out["bias"]
+            set_leaf(params, f"{our}/bias", out["bias"])
         if "_static_scale" in out:
-            _node(qparams, f"{our}/w_quantizer")["static_scale"] = out["_static_scale"]
+            set_leaf(qparams, f"{our}/w_quantizer/static_scale",
+                     out["_static_scale"], allow_new=True)
         if "_bn" in out:
             flax_bn = _bn_to_flax(out["_bn"])
             bn_name = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
                        "downsample_conv": "downsample_bn"}.get(our.split("/")[-1])
             parent = "/".join(our.split("/")[:-1])
             bn_path = f"{parent}/{bn_name}" if parent else bn_name
-            _node(params, f"{bn_path}/BatchNorm_0").update(flax_bn["params"])
-            _node(batch_stats, f"{bn_path}/BatchNorm_0").update(flax_bn["batch_stats"])
+            get_node(params, f"{bn_path}/BatchNorm_0").update(flax_bn["params"])
+            get_node(batch_stats, f"{bn_path}/BatchNorm_0").update(flax_bn["batch_stats"])
 
     put_conv("conv1", "conv1", "bn1")
     for layer_name, layer_tree in sorted(params.items()):
@@ -72,9 +73,9 @@ def import_resnet(
                      f"{tprefix}.downsample.1")
 
     lin = import_linear(sd, "fc")
-    params["fc"]["kernel"] = lin["kernel"]
+    set_leaf(params, "fc/kernel", lin["kernel"])
     if "bias" in lin:
-        params["fc"]["bias"] = lin["bias"]
+        set_leaf(params, "fc/bias", lin["bias"])
 
     out_vars = dict(variables)
     out_vars["params"] = params
@@ -91,8 +92,3 @@ def _copy(tree: Any) -> Any:
     return tree
 
 
-def _node(tree: Dict[str, Any], path: str) -> Dict[str, Any]:
-    node = tree
-    for part in path.split("/"):
-        node = node.setdefault(part, {})
-    return node

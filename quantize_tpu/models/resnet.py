@@ -37,20 +37,31 @@ def _conv_kind(ctx: QuantCtx) -> str:
     return "nn_conv2d_bn2d" if ctx.bn_folding_enabled else "nn_conv2d"
 
 
-class _ConvBN(nn.Module):
-    """Conv (+ BN when not folded) helper shared by all blocks."""
+class _ConvBN:
+    """Conv (+ BN when not folded) helper shared by all blocks.
 
-    ctx: QuantCtx
-    qpath: str
-    features: int
-    kernel_size: Sequence[int]
-    strides: Sequence[int] = (1, 1)
-    groups: int = 1
-    name_conv: str = "conv"
-    name_bn: str = "bn"
-    return_qinput: bool = False  # packed int8-carry: expose conv's quantized input
+    Deliberately NOT an ``nn.Module``: the :class:`QuantConv`/:class:`_BN` it
+    creates attach to the *calling* module's scope, so parameter paths stay
+    flat (``layer1_0/conv1``, not ``layer1_0/_ConvBN_0/conv1``) and mirror
+    the reference's torch module naming — which the checkpoint importers
+    (:mod:`~quantize_tpu.models.import_resnet` et al.) rely on.
+    """
 
-    @nn.compact
+    def __init__(self, ctx: QuantCtx, qpath: str, features: int,
+                 kernel_size: Sequence[int], strides: Sequence[int] = (1, 1),
+                 groups: int = 1, name_conv: str = "conv", name_bn: str = "bn",
+                 return_qinput: bool = False):
+        self.ctx = ctx
+        self.qpath = qpath
+        self.features = features
+        self.kernel_size = kernel_size
+        self.strides = strides
+        self.groups = groups
+        self.name_conv = name_conv
+        self.name_bn = name_bn
+        # packed int8-carry: expose conv's quantized input
+        self.return_qinput = return_qinput
+
     def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False):
         ctx = self.ctx
         pad = [(k // 2, k // 2) for k in self.kernel_size]

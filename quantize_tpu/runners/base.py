@@ -74,7 +74,31 @@ class BasicRunner:
         variables = dict(self.model.init(jax.random.PRNGKey(seed), x, mode="calibrate"))
         variables.pop("taps", None)
         self.variables = variables
+        self._maybe_import_torch_checkpoint()
         self._maybe_precompute_zeroshot()
+
+    def _maybe_import_torch_checkpoint(self) -> None:
+        """``cfg.model.torch_checkpoint``: convert a user-provided torch
+        ``.pth`` into the initialized variables (the reference's
+        pretrained-weight loading, ``modelzoo/load.py:12``; BN fold per
+        ``quantconv2d.py:115-133``)."""
+        path = self.cfg.model.torch_checkpoint if self.cfg.model else None
+        if not path:
+            return
+        from ..models.import_auto import (import_torch_checkpoint,
+                                          load_torch_state_dict)
+
+        fold = bool(self.ctx.bn_folding_enabled)
+        bnf = self.ctx.default.get("bn_folding")
+        into_scale = False
+        if bnf is not None and not isinstance(bnf, bool):
+            into_scale = bool(dict(bnf).get("into_scale"))
+        self.logger.info(f"importing torch checkpoint {path} "
+                         f"(fold_bn={fold}, into_scale={into_scale})")
+        sd = load_torch_state_dict(path)
+        self.variables = import_torch_checkpoint(
+            str(self.cfg.model.name), sd, self.variables,
+            fold_bn=fold, into_scale=into_scale)
 
     def _maybe_precompute_zeroshot(self) -> None:
         """CLIP zero-shot weights: one-time text-tower pass over class

@@ -104,3 +104,51 @@ def test_quantized_after_import_close_to_fp32():
     y_q = model.apply(v, x, mode="quant")
     rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
     assert rel < 0.05
+
+
+def test_import_places_folded_kernels():
+    """Direct placement check: the tree kernel equals fold_bn of the torch
+    tensors (guards against orphaned writes that leave the random init)."""
+    rng = np.random.default_rng(4)
+    sd = synth_resnet18_state_dict(rng)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    W32 = {"default": {"weight": {"n_bits": 32}, "activation": {"n_bits": 32},
+                       "bn_folding": True}}
+    model = MODELS.build("resnet18", num_classes=10, ctx=QuantCtx(W32))
+    v = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    v.pop("taps", None)
+    v = import_resnet(sd, v, fold_bn=True)
+
+    w_f, b_f, _ = fold_bn(
+        sd["layer2.0.conv1.weight"], None,
+        sd["layer2.0.bn1.weight"], sd["layer2.0.bn1.bias"],
+        sd["layer2.0.bn1.running_mean"], sd["layer2.0.bn1.running_var"])
+    got = np.asarray(v["params"]["layer2_0"]["conv1"]["kernel"])
+    np.testing.assert_allclose(got, w_f.transpose(2, 3, 1, 0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(v["params"]["layer2_0"]["conv1"]["bias"]), b_f, rtol=1e-5)
+
+
+def test_torch_checkpoint_auto_import(tmp_path):
+    """cfg.model.torch_checkpoint path: .pth file -> auto importer dispatch."""
+    torch = pytest.importorskip("torch")
+    from quantize_tpu.models.import_auto import (import_torch_checkpoint,
+                                                 load_torch_state_dict)
+
+    rng = np.random.default_rng(5)
+    sd_np = synth_resnet18_state_dict(rng)
+    path = tmp_path / "resnet18.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd_np.items()}, path)
+
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    W32 = {"default": {"weight": {"n_bits": 32}, "activation": {"n_bits": 32},
+                       "bn_folding": True}}
+    model = MODELS.build("resnet18", num_classes=10, ctx=QuantCtx(W32))
+    v = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    v.pop("taps", None)
+    sd = load_torch_state_dict(str(path))
+    v2 = import_torch_checkpoint("resnet18", sd, v)
+    ref = import_resnet(sd_np, v, fold_bn=True)
+    np.testing.assert_allclose(
+        np.asarray(v2["params"]["fc"]["kernel"]),
+        np.asarray(ref["params"]["fc"]["kernel"]))
