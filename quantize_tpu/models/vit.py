@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..nn.attention import QuantMultiheadAttention
 from ..nn.intercept import QuantCtx
 from ..nn.layers import QuantConv, QuantDense
+from ..nn.norm import FusedLayerNorm
 from ..nn.precision import packed_carry_dtype
 
 
@@ -35,9 +36,10 @@ class MLPBlock(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32",
+                 pre_norm=None) -> jnp.ndarray:
         x = QuantDense(self.hidden_dim, quant=self.ctx.resolve(f"{self.qpath}/0", "nn_linear"),
-                       name="linear1")(x, mode=mode)
+                       name="linear1")(x, mode=mode, pre_norm=pre_norm)
         x = nn.gelu(x, approximate=False)
         return QuantDense(self.out_dim, quant=self.ctx.resolve(f"{self.qpath}/3", "nn_linear"),
                           name="linear2")(x, mode=mode)
@@ -53,17 +55,23 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
         dt = _compute_dtype(mode)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="ln_1")(x)
-        h = QuantMultiheadAttention(
+        ln_1 = FusedLayerNorm(self.hidden_dim, epsilon=1e-6, dtype=dt, name="ln_1")
+        ln_2 = FusedLayerNorm(self.hidden_dim, epsilon=1e-6, dtype=dt, name="ln_2")
+        attn = QuantMultiheadAttention(
             self.hidden_dim, self.num_heads,
             quant=self.ctx.resolve(f"{self.qpath}/self_attention", "nn_multiheadattention"),
             name="self_attention",
-        )(h, mode=mode)
-        x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="ln_2")(x)
-        h = MLPBlock(self.ctx, f"{self.qpath}/mlp", self.mlp_dim, self.hidden_dim,
-                     name="mlp")(h, mode=mode)
-        return x + h
+        )
+        mlp = MLPBlock(self.ctx, f"{self.qpath}/mlp", self.mlp_dim,
+                       self.hidden_dim, name="mlp")
+        if mode == "packed":
+            # defer each LayerNorm into its consumer: the Pallas LN kernel
+            # fuses with the consumer's int8 activation quantize, so the
+            # normalized tensor never round-trips through HBM
+            x = x + attn(x, mode=mode, pre_norm=ln_1.params_tuple())
+            return x + mlp(x, mode=mode, pre_norm=ln_2.params_tuple())
+        x = x + attn(ln_1(x, mode), mode=mode)
+        return x + mlp(ln_2(x, mode), mode=mode)
 
 
 class VisionTransformer(nn.Module):
@@ -103,7 +111,8 @@ class VisionTransformer(nn.Module):
                 self.num_heads, self.hidden_dim, self.mlp_dim,
                 name=f"encoder_layer_{i}",
             )(x, mode=mode)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=_compute_dtype(mode), name="ln")(x)
+        x = FusedLayerNorm(self.hidden_dim, epsilon=1e-6,
+                           dtype=_compute_dtype(mode), name="ln")(x, mode)
         x = x[:, 0]
         return QuantDense(self.num_classes, quant=self.ctx.resolve("/heads/head", "nn_linear"),
                           name="head")(x, mode=mode)

@@ -41,7 +41,7 @@ def _proj_cfg(quant: LayerQuantCfg, force_mse: bool = False,
                          bias_correct=quant.bias_correct)
 
 
-def _fused_qkv_packed(x, mods, pc: LayerQuantCfg):
+def _fused_qkv_packed(x, mods, pc: LayerQuantCfg, pre_norm=None):
     """Run the three q/k/v projections as ONE fused int8 matmul in packed
     mode (packed analog of the reference's fused ``in_proj_weight``,
     ``quantmultiheadattention.py:97-104``).
@@ -49,10 +49,14 @@ def _fused_qkv_packed(x, mods, pc: LayerQuantCfg):
     q/k/v share the same quant config and the same input, so their
     activation qparams are identical and per-out-channel weight params
     concatenate exactly; fusing reads the activation once instead of three
-    times and feeds the MXU one (K, 3N) matmul. Returns None when the layout
-    isn't fusable (weight-only, per-channel activations, odd K for int4) —
-    the caller falls back to per-projection execution."""
+    times and feeds the MXU one (K, 3N) matmul. With ``pre_norm`` (the
+    deferred block LayerNorm's ``(scale, bias, eps)``), the normalize fuses
+    into the activation quantize — int8 comes straight out of the Pallas LN
+    kernel. Returns None when the layout isn't fusable (weight-only,
+    per-channel activations, odd K for int4) — the caller falls back to
+    per-projection execution."""
     from ..nn.precision import packed_carry_dtype
+    from ..ops.pallas.layernorm import layernorm_quant_int8
     from ..ops.pallas.qmatmul import quant_matmul_w4a8, quant_matmul_w8a8
     from ..quant.qspec import QuantSpec
 
@@ -75,9 +79,14 @@ def _fused_qkv_packed(x, mods, pc: LayerQuantCfg):
     a_scale = bufs[0]["a_scale"].reshape(())
     a_zero = bufs[0]["a_zero"].reshape(())
     wz0 = bool(w_spec.symmetric and w_spec.qmin < 0)
+    pre_q = None
+    if pre_norm is not None:
+        pre_q = layernorm_quant_int8(x, *pre_norm, a_scale, a_zero,
+                                     a_spec.qmin, a_spec.qmax)
     fn = quant_matmul_w4a8 if p4 else quant_matmul_w8a8
     qkv = fn(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
-             W, w_scale, w_zero, bias, col_sum, w_zero_is_zero=wz0)
+             W, w_scale, w_zero, bias, col_sum, w_zero_is_zero=wz0,
+             pre_q=pre_q)
     qkv = qkv.astype(packed_carry_dtype())
     n = w_scale.shape[0] // 3
     return qkv[..., :n], qkv[..., n:2 * n], qkv[..., 2 * n:]
@@ -97,6 +106,7 @@ class QuantMultiheadAttention(nn.Module):
         x: jnp.ndarray,
         mode: str = "fp32",
         mask: Optional[jnp.ndarray] = None,
+        pre_norm=None,
     ) -> jnp.ndarray:
         assert self.embed_dim % self.num_heads == 0
         head_dim = self.embed_dim // self.num_heads
@@ -109,10 +119,15 @@ class QuantMultiheadAttention(nn.Module):
 
         fused = None
         if mode == "packed":
-            fused = _fused_qkv_packed(x, (q_mod, k_mod, v_mod), pc)
+            fused = _fused_qkv_packed(x, (q_mod, k_mod, v_mod), pc, pre_norm)
         if fused is not None:
             q, k, v = fused
         else:
+            if pre_norm is not None:
+                # deferred block LayerNorm (non-fusable projection layout)
+                from ..ops.pallas.layernorm import layernorm
+
+                x = layernorm(x, *pre_norm, out_dtype=x.dtype)
             q = q_mod(x, mode=mode)
             k = k_mod(x, mode=mode)
             v = v_mod(x, mode=mode)

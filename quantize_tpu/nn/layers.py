@@ -236,15 +236,24 @@ class QuantDense(_QuantLayerBase):
     def _use_p4(self, k: int, w_spec: QuantSpec) -> bool:
         return w_spec.enabled and w_spec.n_bits <= 4 and k % 2 == 0
 
-    def _packed_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _packed_forward(self, x: jnp.ndarray, pre_norm=None) -> jnp.ndarray:
         w_spec, a_spec = self._specs(self.quant)
         bias = self.get_variable("packed", "bias")
         k = x.shape[-1]
         p4 = self._use_p4(k, w_spec)
 
+        def norm(x):
+            # non-fused fallback: apply the deferred LayerNorm first
+            if pre_norm is None:
+                return x
+            from ..ops.pallas.layernorm import layernorm
+
+            return layernorm(x, *pre_norm, out_dtype=x.dtype)
+
         if not w_spec.enabled:
             # activation-only quantization: float weights stay in params
             kernel = self.get_variable("params", "kernel")
+            x = norm(x)
             xq = self._packed_act(x, a_spec) if a_spec.enabled else x
             return xq @ kernel + bias
 
@@ -258,18 +267,26 @@ class QuantDense(_QuantLayerBase):
         if fusable:
             a_scale = self.get_variable("packed", "a_scale").reshape(())
             a_zero = self.get_variable("packed", "a_zero").reshape(())
+            pre_q = None
+            if pre_norm is not None:
+                # LN fused with the activation quantize: int8 out of the
+                # kernel, no normalized bf16 tensor ever hits HBM
+                from ..ops.pallas.layernorm import layernorm_quant_int8
+
+                pre_q = layernorm_quant_int8(x, *pre_norm, a_scale, a_zero,
+                                             a_spec.qmin, a_spec.qmax)
             if p4:
                 w_p4 = self.get_variable("packed", "w_p4")
                 col_sum = (self.get_variable("packed", "col_sum")
                            if self.has_variable("packed", "col_sum") else None)
                 return quant_matmul_w4a8(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
                                          w_p4, w_scale, w_zero, bias, col_sum,
-                                         w_zero_is_zero=wz0)
+                                         w_zero_is_zero=wz0, pre_q=pre_q)
             w_int = self.get_variable("packed", "w_int")
             col_sum = self.get_variable("packed", "col_sum")
             return quant_matmul_w8a8(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
                                      w_int, w_scale, w_zero, bias, col_sum,
-                                     w_zero_is_zero=wz0)
+                                     w_zero_is_zero=wz0, pre_q=pre_q)
         # weight-only (or per-channel-activation / AWQ fallback)
         if p4:
             from ..ops.pallas.qmatmul import unpack_int4_splithalf
@@ -277,6 +294,7 @@ class QuantDense(_QuantLayerBase):
             w_int = unpack_int4_splithalf(self.get_variable("packed", "w_p4"))
         else:
             w_int = self.get_variable("packed", "w_int")
+        x = norm(x)
         xq = self._packed_act(x, a_spec) if a_spec.enabled else x
         awq_recip = self.get_variable("packed", "awq_recip") if has_awq else None
         group = 0
@@ -303,14 +321,16 @@ class QuantDense(_QuantLayerBase):
         return out
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32",
+                 pre_norm=None) -> jnp.ndarray:
         if mode in _TAP_IO_MODES:
             self.sow("taps", "in", x)
             mode = _TAP_IO_MODES[mode]
         if mode == "packed":
-            out = self._packed_forward(x).astype(packed_carry_dtype())
+            out = self._packed_forward(x, pre_norm).astype(packed_carry_dtype())
             self.sow("taps", "out", out)
             return out
+        assert pre_norm is None, "pre_norm fusion is a packed-mode feature"
 
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features), self.param_dtype)
         bias = (

@@ -161,3 +161,21 @@ def test_mha_packed_fused_qkv_matches_per_projection():
             attn_mod._fused_qkv_packed = orig
         np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_sep),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_vit_packed_lane_aligned_ln_fusion_matches_sim():
+    """hidden_dim % 128 == 0 routes packed LayerNorms through the Pallas
+    LN(+int8-quantize) kernels; the model output must still match the
+    simulated quant forward."""
+    model = VisionTransformer(
+        image_size=32, patch_size=8, num_layers=2, num_heads=2,
+        hidden_dim=128, mlp_dim=256, num_classes=5, ctx=QuantCtx(W8A8),
+    )
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    v = calibrated(model, x)
+    y_sim = model.apply(v, x, mode="quant")
+    deploy = pack_model(model, v, x)
+    y_packed = model.apply(deploy, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
+                               rtol=2e-2, atol=2e-2)
