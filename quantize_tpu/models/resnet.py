@@ -37,6 +37,17 @@ def _conv_kind(ctx: QuantCtx) -> str:
     return "nn_conv2d_bn2d" if ctx.bn_folding_enabled else "nn_conv2d"
 
 
+def _relu(ctx: QuantCtx, qpath: str, x, mode: str, name: str = "relu"):
+    """ReLU site: plain by default; an explicit ``nn_relu`` config key flips
+    it to the activation-quantized :class:`QuantReLU` (the reference's
+    commented-out surgery path, ``reconstruct.py:123-129``)."""
+    if ctx.act_layer_enabled("nn_relu"):
+        from ..nn.layers import QuantReLU
+
+        return QuantReLU(quant=ctx.resolve(qpath, "nn_relu"), name=name)(x, mode=mode)
+    return nn.relu(x)
+
+
 class _ConvBN:
     """Conv (+ BN when not folded) helper shared by all blocks.
 
@@ -104,14 +115,14 @@ class BasicBlock(nn.Module):
         if use_qin:
             out, qin = out
         identity = x if qin is None else qin.dequant()
-        out = nn.relu(out)
+        out = _relu(self.ctx, f"{self.qpath}/relu", out, mode, name="relu1")
         out = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3),
                       name_conv="conv2", name_bn="bn2")(out, mode, train)
         if self.downsample:
             identity = _ConvBN(self.ctx, f"{self.qpath}/downsample/0", self.features, (1, 1),
                                self.strides, name_conv="downsample_conv",
                                name_bn="downsample_bn")(identity, mode, train)
-        return nn.relu(out + identity)
+        return _relu(self.ctx, f"{self.qpath}/relu", out + identity, mode, name="relu2")
 
 
 class Bottleneck(nn.Module):
@@ -133,17 +144,17 @@ class Bottleneck(nn.Module):
         if use_qin:
             out, qin = out
         identity = x if qin is None else qin.dequant()
-        out = nn.relu(out)
+        out = _relu(self.ctx, f"{self.qpath}/relu", out, mode, name="relu1")
         out = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3), self.strides,
                       groups=self.groups, name_conv="conv2", name_bn="bn2")(out, mode, train)
-        out = nn.relu(out)
+        out = _relu(self.ctx, f"{self.qpath}/relu", out, mode, name="relu2")
         out = _ConvBN(self.ctx, f"{self.qpath}/conv3", self.out_features, (1, 1),
                       name_conv="conv3", name_bn="bn3")(out, mode, train)
         if self.downsample:
             identity = _ConvBN(self.ctx, f"{self.qpath}/downsample/0", self.out_features, (1, 1),
                                self.strides, name_conv="downsample_conv",
                                name_bn="downsample_bn")(identity, mode, train)
-        return nn.relu(out + identity)
+        return _relu(self.ctx, f"{self.qpath}/relu", out + identity, mode, name="relu3")
 
 
 class ResNet(nn.Module):
@@ -162,8 +173,16 @@ class ResNet(nn.Module):
         ctx = self.ctx
         x = _ConvBN(ctx, "/conv1", self.stem_width, (7, 7), (2, 2),
                     name_conv="conv1", name_bn="bn1")(x, mode, train)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = _relu(ctx, "/relu", x, mode, name="relu")
+        if ctx.act_layer_enabled("nn_maxpool2d"):
+            from ..nn.layers import QuantMaxPool
+
+            x = QuantMaxPool(window=(3, 3), strides=(2, 2),
+                             padding=[(1, 1), (1, 1)],
+                             quant=ctx.resolve("/maxpool", "nn_maxpool2d"),
+                             name="maxpool")(x, mode=mode)
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         expansion = 4 if self.bottleneck else 1
         in_ch = self.stem_width
@@ -187,7 +206,14 @@ class ResNet(nn.Module):
                     )(x, mode, train)
                 in_ch = out_ch
 
-        x = jnp.mean(x, axis=(1, 2))
+        if ctx.act_layer_enabled("nn_adaptiveavgpool2d"):
+            from ..nn.layers import QuantGlobalAvgPool
+
+            x = QuantGlobalAvgPool(
+                quant=ctx.resolve("/avgpool", "nn_adaptiveavgpool2d"),
+                name="avgpool")(x, mode=mode)
+        else:
+            x = jnp.mean(x, axis=(1, 2))
         x = QuantDense(
             features=self.num_classes,
             quant=ctx.resolve("/fc", "nn_linear"),

@@ -55,6 +55,13 @@ class QuantCtx:
                 merged = dict_merge(merged, v)
         return merged
 
+    def act_layer_enabled(self, kind: str) -> bool:
+        """Activation-quantized ReLU/pool sites are *opt-in*: the reference
+        left their surgery commented out (``reconstruct.py:123-129``), so a
+        model creates one only when the config carries a matching kind key
+        (``nn_relu`` / ``nn_maxpool2d`` / ``nn_adaptiveavgpool2d``)."""
+        return self.enabled and isinstance(self.cfg.get(kind), dict)
+
     def resolve(self, path: str, kind: str, kinds: Optional[Sequence[str]] = None) -> LayerQuantCfg:
         """Resolve the quant config for a layer.
 

@@ -532,6 +532,13 @@ def quant_matmul_w8a8_xla(
     else:
         q_a, z_eff = quantize_act_int8(x.reshape(-1, k), a_scale, a_zero,
                                        a_qmin, a_qmax)
+        # materialize the int8 activation: without this, XLA output-fuses
+        # the whole producer chain (previous matmul + nonlinearity +
+        # quantize) INTO this matmul's fusion and recomputes it per output
+        # tile — device traces showed the ViT fc2 matmul costing 6x its
+        # roofline because fc1+gelu re-ran inside it. The int8 write/read
+        # (1 byte/elem) is far cheaper than any recompute.
+        q_a = jax.lax.optimization_barrier(q_a)
     acc = jax.lax.dot_general(
         q_a, w_int.astype(jnp.int8), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quantize_tpu.checkpoint import restore, save
 from quantize_tpu.deploy import pack_model
@@ -20,6 +21,7 @@ W8A8 = {
 }
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip_with_packed(tmp_path):
     model = MODELS.build("testcnn", num_classes=4, ctx=QuantCtx(W8A8))
     rng = np.random.default_rng(0)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quantize_tpu.models.clip import (
     CLIPZeroShot, HashTokenizer, build_zeroshot, class_prompt_tokens, tokenize,
@@ -50,6 +51,7 @@ def test_class_prompt_tokens_shape():
     assert t.shape == (2, 2, 16)
 
 
+@pytest.mark.slow
 def test_clip_vit_contrastive_forward():
     model = CLIP(**TINY_VIT)
     img = jnp.zeros((2, 32, 32, 3))
@@ -59,6 +61,7 @@ def test_clip_vit_contrastive_forward():
     assert li.shape == (2, 3) and lt.shape == (3, 2)
 
 
+@pytest.mark.slow
 def test_clip_modified_resnet_tower():
     model = CLIP(**TINY_RN)
     img = jnp.zeros((1, 64, 64, 3))
@@ -68,6 +71,7 @@ def test_clip_modified_resnet_tower():
     assert li.shape == (1, 1)
 
 
+@pytest.mark.slow
 def test_zeroshot_pipeline_quantized():
     tok = HashTokenizer(64)
     model = CLIPZeroShot(backbone="ViT-B/16", num_classes=3, ctx=QuantCtx(W8A8),

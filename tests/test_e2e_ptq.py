@@ -83,6 +83,7 @@ def test_adaround_w4_runs_and_beats_nearest(tmp_path):
     assert result is not None and np.isfinite(result["top1"])
 
 
+@pytest.mark.slow
 def test_clip_zeroshot_ptq_runner(tmp_path):
     """CLIP PTQ: calibrate the vision tower on images, zero-shot eval."""
     cfg = base_cfg(tmp_path)
@@ -153,6 +154,7 @@ def test_adaround_joint_mode_still_runs(tmp_path):
     assert result is not None and np.isfinite(result["top1"])
 
 
+@pytest.mark.slow
 def test_adaround_blockwise_mobilenet_smoke(tmp_path):
     """Blockwise replay must handle real CNN topologies (depthwise convs,
     residuals) — MobileNetV2 at tiny resolution."""

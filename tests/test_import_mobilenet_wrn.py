@@ -173,12 +173,14 @@ def _ctx(cfg):
     return QuantCtx(cfg)
 
 
+@pytest.mark.slow
 def test_import_mobilenet_v2(rng):
     sd = synth_mobilenet_v2_sd(rng)
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
     _check_folded_equals_unfolded("mobilenet_v2", sd, import_mobilenet_v2, x)
 
 
+@pytest.mark.slow
 def test_import_mobilenet_v3_small(rng):
     sd = synth_mobilenet_v3_small_sd(rng)
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
@@ -186,6 +188,7 @@ def test_import_mobilenet_v3_small(rng):
                                   import_mobilenet_v3, x, small=True)
 
 
+@pytest.mark.slow
 def test_import_mobilenet_v1(rng):
     sd = synth_mobilenet_v1_sd(rng)
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))

@@ -56,7 +56,7 @@ def test_fold_bn_math():
     np.testing.assert_allclose(bf, beta - mean * mult, rtol=1e-5)
 
 
-@pytest.mark.parametrize("into_scale", [False, True])
+@pytest.mark.parametrize("into_scale", [pytest.param(False, marks=pytest.mark.slow), True])
 def test_folded_equals_unfolded_forward(into_scale):
     rng = np.random.default_rng(1)
     sd = synth_resnet18_state_dict(rng)
@@ -84,6 +84,7 @@ def test_folded_equals_unfolded_forward(into_scale):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_quantized_after_import_close_to_fp32():
     rng = np.random.default_rng(2)
     sd = synth_resnet18_state_dict(rng)

@@ -42,6 +42,7 @@ def test_resnet18_quantized_calibrate_and_eval():
     assert rel < 0.3  # random weights, just sanity
 
 
+@pytest.mark.slow
 def test_resnet50_bottleneck_shapes():
     model = MODELS.build("resnet50", num_classes=7)
     x = jnp.zeros((1, 64, 64, 3))
@@ -49,7 +50,11 @@ def test_resnet50_bottleneck_shapes():
     assert model.apply(variables, x).shape == (1, 7)
 
 
-@pytest.mark.parametrize("name", ["mobilenet_v1", "mobilenet_v2", "mobilenet_v3_small"])
+@pytest.mark.parametrize("name", [
+    "mobilenet_v1",
+    pytest.param("mobilenet_v2", marks=pytest.mark.slow),
+    pytest.param("mobilenet_v3_small", marks=pytest.mark.slow),
+])
 def test_mobilenets_forward(name):
     model = MODELS.build(name, num_classes=5)
     x = jnp.zeros((1, 64, 64, 3))

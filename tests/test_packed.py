@@ -171,6 +171,7 @@ def test_depthwise_conv_packed_matches_sim():
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_full_packed():
     W8A8 = {
         "default": {
@@ -212,3 +213,65 @@ def test_unpack_model_roundtrip():
     y_restored = model.apply(restored, x, mode="fp32")
     np.testing.assert_allclose(np.asarray(y_restored), np.asarray(y_sim),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("groups", [2, 3])
+def test_grouped_conv_packed_asymmetric_weights(groups):
+    """Grouped conv + asymmetric weights exercises the per-group
+    row-sum/repeat zero-point algebra (ops/qconv.py) that groups=1 and
+    symmetric-weight tests never reach."""
+    rng = np.random.default_rng(10 + groups)
+    cin, cout = 6 * groups, 12 * groups
+    x = jnp.asarray(rng.normal(size=(2, 10, 10, cin)).astype(np.float32))
+    cfg = LayerQuantCfg(
+        weight={"n_bits": 8, "symmetric": False, "granularity": "channel",
+                "range": {"name": "minmax"}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+    model = QuantConv(features=cout, kernel_size=(3, 3), feature_group_count=groups,
+                      quant=cfg)
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+    _, upd = model.apply(variables, x, mode="pack", mutable=["packed"])
+    y_packed = model.apply({**variables, **upd}, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_resnet_act_quant_layers_opt_in():
+    """nn_relu / nn_maxpool2d / nn_adaptiveavgpool2d config keys flip the
+    CNN zoo's ReLU/pool sites to activation-quantized layers (reference's
+    commented-out surgery, reconstruct.py:123-129); absent keys leave the
+    plain ops and an identical variables tree."""
+    act8 = {"activation": {"n_bits": 8, "symmetric": False,
+                           "granularity": "layer", "range": {"name": "minmax"}}}
+    base = {
+        "default": {
+            "weight": {"n_bits": 8, "symmetric": True, "granularity": "channel",
+                       "range": {"name": "minmax"}},
+            "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                           "range": {"name": "minmax"}},
+            "bn_folding": True,
+        }
+    }
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+
+    plain = MODELS.build("resnet18", num_classes=10, ctx=QuantCtx(base))
+    v_plain = calibrated(plain, x)
+    assert "relu" not in str(jax.tree_util.tree_structure(v_plain["qobs"]))
+
+    cfg = {**base, "nn_relu": dict(act8), "nn_maxpool2d": dict(act8),
+           "nn_adaptiveavgpool2d": dict(act8)}
+    model = MODELS.build("resnet18", num_classes=10, ctx=QuantCtx(cfg))
+    v = calibrated(model, x)
+    qobs_paths = str(jax.tree_util.tree_structure(v["qobs"]))
+    assert "relu1" in qobs_paths and "maxpool" in qobs_paths and "avgpool" in qobs_paths
+
+    y_q = model.apply(v, x, mode="quant")
+    deploy = pack_model(model, v, x)
+    y_p = model.apply(deploy, x, mode="packed")
+    assert y_q.shape == y_p.shape == (2, 10)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_q),
+                               rtol=5e-2, atol=5e-2)

@@ -3,6 +3,7 @@ packed forward to ~int8-noise level and preserve predictions."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quantize_tpu.deploy import pack_model
 from quantize_tpu.models import MODELS
@@ -64,6 +65,7 @@ def test_qtensor_dequant_matches_fake_quant():
                                    rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_qin_carry_resnet():
     """int8 quantized-domain carry on a residual model: skip paths consume
     the main conv's quantized input; logits stay at int8-noise level and
@@ -95,6 +97,7 @@ def test_int8_qin_carry_resnet():
     np.testing.assert_array_equal(np.asarray(sim), np.asarray(sim2))
 
 
+@pytest.mark.slow
 def test_int8_qin_carry_mobilenet_v2():
     """Inverted-residual (expand-first and no-expand first-block) topologies."""
     from quantize_tpu.nn.precision import qin_carry

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from quantize_tpu.models.clip.prompt_learning import CoCoOpCLIP, CoOpCLIP
@@ -29,6 +30,7 @@ def test_coop_csc_context():
     assert variables["params"]["ctx"].shape == (3, 4, 32)
 
 
+@pytest.mark.slow
 def test_coop_ctx_is_trainable():
     model = CoOpCLIP(backbone="ViT-B/16", num_classes=2, n_ctx=2,
                      config_overrides=TINY, classnames=["cat", "dog"])

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quantize_tpu.deploy import pack_model
 from quantize_tpu.models import MODELS
@@ -104,6 +105,7 @@ def test_vit_b16_builds():
     assert model.apply(variables, x).shape == (1, 10)
 
 
+@pytest.mark.slow
 def test_vit_qat_gradient_step():
     """STE gradients flow through quantized attention + MLP projections."""
     import optax
