@@ -287,7 +287,10 @@ class CLIP(nn.Module):
         position (highest token id, reference ``model.py:343-356``)."""
         x = self.token_embedding(text)
         x = x + self.positional_embedding[None, : x.shape[1]]
-        x = self.transformer(x, mode=mode, mask=causal_mask(x.shape[1]))
+        # "causal" sentinel: packed mode runs the fused Pallas attention
+        # kernel with an in-kernel causal mask; simulation modes materialize
+        # the additive mask (same math as the reference's attn_mask)
+        x = self.transformer(x, mode=mode, mask="causal")
         x = self.ln_final(x)
         eot = jnp.argmax(text, axis=-1)
         x = x[jnp.arange(x.shape[0]), eot]

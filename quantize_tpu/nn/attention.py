@@ -87,9 +87,7 @@ def _fused_qkv_packed(x, mods, pc: LayerQuantCfg, pre_norm=None):
     qkv = fn(x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
              W, w_scale, w_zero, bias, col_sum, w_zero_is_zero=wz0,
              pre_q=pre_q)
-    qkv = qkv.astype(packed_carry_dtype())
-    n = w_scale.shape[0] // 3
-    return qkv[..., :n], qkv[..., n:2 * n], qkv[..., 2 * n:]
+    return qkv.astype(packed_carry_dtype())  # (B, S, 3E)
 
 
 class QuantMultiheadAttention(nn.Module):
@@ -117,31 +115,55 @@ class QuantMultiheadAttention(nn.Module):
         k_mod = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="k_proj")
         v_mod = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="v_proj")
 
+        # mask: None | additive array | the string "causal"
+        causal = isinstance(mask, str) and mask == "causal"
+
         fused = None
         if mode == "packed":
             fused = _fused_qkv_packed(x, (q_mod, k_mod, v_mod), pc, pre_norm)
-        if fused is not None:
-            q, k, v = fused
+
+        if mode == "packed" and (mask is None or causal):
+            # fully fused attention middle: one Pallas kernel per
+            # (batch, head, q-tile); scores/softmax never touch HBM
+            from ..ops.pallas.attention import mha_fused_qkv
+
+            if fused is not None:
+                qkv = fused
+            else:
+                if pre_norm is not None:
+                    from ..ops.pallas.layernorm import layernorm
+
+                    x = layernorm(x, *pre_norm, out_dtype=x.dtype)
+                qkv = jnp.concatenate(
+                    [q_mod(x, mode=mode), k_mod(x, mode=mode),
+                     v_mod(x, mode=mode)], axis=-1)
+            out = mha_fused_qkv(qkv, self.num_heads, causal=causal,
+                                out_dtype=qkv.dtype)
         else:
-            if pre_norm is not None:
-                # deferred block LayerNorm (non-fusable projection layout)
-                from ..ops.pallas.layernorm import layernorm
+            if fused is not None:
+                n = self.embed_dim
+                q, k, v = fused[..., :n], fused[..., n:2 * n], fused[..., 2 * n:]
+            else:
+                if pre_norm is not None:
+                    from ..ops.pallas.layernorm import layernorm
 
-                x = layernorm(x, *pre_norm, out_dtype=x.dtype)
-            q = q_mod(x, mode=mode)
-            k = k_mod(x, mode=mode)
-            v = v_mod(x, mode=mode)
+                    x = layernorm(x, *pre_norm, out_dtype=x.dtype)
+                q = q_mod(x, mode=mode)
+                k = k_mod(x, mode=mode)
+                v = v_mod(x, mode=mode)
 
-        def split(t):
-            return t.reshape(b, s, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            def split(t):
+                return t.reshape(b, s, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        qh, kh, vh = split(q), split(k), split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(head_dim).astype(x.dtype)
-        if mask is not None:
-            scores = scores + mask
-        attn = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, self.embed_dim)
+            qh, kh, vh = split(q), split(k), split(v)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(head_dim).astype(x.dtype)
+            if causal:
+                mask = jnp.triu(jnp.full((s, s), -jnp.inf, scores.dtype), k=1)
+            if mask is not None:
+                scores = scores + mask
+            attn = nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(b, s, self.embed_dim)
 
         oc = _proj_cfg(self.quant, force_mse=True, disable_act=True)
         return QuantDense(self.embed_dim, use_bias=self.use_bias, quant=oc, name="out_proj")(out, mode=mode)

@@ -114,9 +114,43 @@ def main() -> None:
     proc_names, rows, cnt, total = summarize_trace(args.trace_dir)
     print("\nprocesses:", json.dumps(proc_names, indent=None))
     print(f"\ntotal device-lane time: {total/1e3:.3f} ms across 3 steps")
-    print(f"{'op':<72} {'count':>5} {'total_ms':>9} {'%':>6}")
+
+    # map HLO op names -> jax op_name metadata (the compile is cached)
+    import re
+
+    meta = {}
+    try:
+        txt = jax.jit(step).lower(v_dev, jnp.float32(0.0)).compile().as_text()
+        for line in txt.splitlines():
+            mm = re.match(r"\s+(?:ROOT )?%([\w.\-]+) = ", line)
+            om = re.search(r'op_name="([^"]+)"', line)
+            if mm and om:
+                meta[mm.group(1)] = om.group(1)
+    except Exception as e:  # metadata is best-effort
+        print(f"(no HLO metadata: {e})")
+
+    def label(name):
+        m = meta.get(name, "")
+        m = re.sub(r"^jit\(step\)/", "", m)
+        return f"{name}  [{m}]" if m else name
+
+    print(f"{'op':<104} {'count':>5} {'total_ms':>9} {'%':>6}")
     for name, dur in rows[: args.top]:
-        print(f"{name[:72]:<72} {cnt[name]:>5} {dur/1e3:>9.3f} {100*dur/max(total,1e-9):>6.2f}")
+        print(f"{label(name)[:104]:<104} {cnt[name]:>5} {dur/1e3:>9.3f} "
+              f"{100*dur/max(total,1e-9):>6.2f}")
+
+    # aggregate by source op_name for a semantic view
+    agg2 = defaultdict(float)
+    for name, dur in rows:
+        if name.startswith("jit_"):
+            continue
+        m = re.sub(r"^jit\(step\)/", "", meta.get(name, "?"))
+        m = re.sub(r"encoder_layer_\d+", "encoder_layer_*", m)
+        m = re.sub(r"(layer\d+_\d+|features_\d+)", "block_*", m)
+        agg2[m] += dur
+    print("\nby source op (layers merged):")
+    for m, dur in sorted(agg2.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{m[:104]:<104} {dur/1e3:>9.3f}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,60 @@
+"""Pallas fused MHA kernel vs jnp oracle (interpret mode on CPU)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantize_tpu.ops.pallas.attention import _mha_ref, mha_fused_qkv
+
+
+@pytest.mark.parametrize("b,s,h,d", [(2, 197, 12, 64), (1, 77, 8, 64),
+                                     (2, 300, 2, 128), (3, 5, 2, 64)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_mha_kernel_matches_oracle(rng, b, s, h, d, causal):
+    e = h * d
+    qkv = rng.normal(size=(b, s, 3 * e)).astype(np.float32)
+    out = mha_fused_qkv(jnp.asarray(qkv), h, causal=causal)
+    ref = _mha_ref(jnp.asarray(qkv), h, causal, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mha_kernel_bf16_io(rng):
+    qkv = rng.normal(size=(2, 50, 3 * 128)).astype(np.float32)
+    out = mha_fused_qkv(jnp.asarray(qkv, jnp.bfloat16), 2)
+    assert out.dtype == jnp.bfloat16
+    ref = _mha_ref(jnp.asarray(qkv), 2, False, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_packed_attention_uses_kernel_matches_sim(rng):
+    """Module-level: packed attention (kernel path) == quant simulation."""
+    import jax
+
+    from quantize_tpu.deploy import pack_model
+    from quantize_tpu.nn.attention import QuantMultiheadAttention
+    from quantize_tpu.nn.layers import LayerQuantCfg
+
+    cfg = LayerQuantCfg(
+        weight={"n_bits": 8, "symmetric": True, "signed": True,
+                "granularity": "channel", "range": {"name": "minmax"}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+    x = jnp.asarray(rng.normal(size=(2, 9, 128)).astype(np.float32))
+    m = QuantMultiheadAttention(128, 2, quant=cfg)
+    v = dict(m.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    v.pop("taps", None)
+    _, upd = m.apply(v, x, mode="calibrate", mutable=["qobs", "qparams"])
+    v = {**v, **upd}
+    y_sim = m.apply(v, x, mode="quant")
+    deploy = pack_model(m, v, x)
+    y_packed = m.apply(deploy, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
+                               rtol=2e-2, atol=2e-2)
+
+    # causal sentinel path
+    y_sim_c = m.apply(v, x, mode="quant", mask="causal")
+    y_packed_c = m.apply(deploy, x, mode="packed", mask="causal")
+    np.testing.assert_allclose(np.asarray(y_packed_c), np.asarray(y_sim_c),
+                               rtol=2e-2, atol=2e-2)
