@@ -61,7 +61,7 @@ class _ConvBN:
     def __init__(self, ctx: QuantCtx, qpath: str, features: int,
                  kernel_size: Sequence[int], strides: Sequence[int] = (1, 1),
                  groups: int = 1, name_conv: str = "conv", name_bn: str = "bn",
-                 return_qinput: bool = False):
+                 return_qinput: bool = False, s2d: bool = False):
         self.ctx = ctx
         self.qpath = qpath
         self.features = features
@@ -72,6 +72,8 @@ class _ConvBN:
         self.name_bn = name_bn
         # packed int8-carry: expose conv's quantized input
         self.return_qinput = return_qinput
+        # packed space-to-depth stem rewrite
+        self.s2d = s2d
 
     def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False):
         ctx = self.ctx
@@ -86,6 +88,7 @@ class _ConvBN:
             quant=ctx.resolve(self.qpath, _conv_kind(ctx)),
             name=self.name_conv,
             return_qinput=self.return_qinput and mode == "packed",
+            s2d=self.s2d,
         )(x, mode=mode)
         qin = None
         if self.return_qinput:
@@ -166,13 +169,18 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     stem_width: int = 64
+    # packed inference rewrites the 7x7/s2 stem as a stride-1 4x4 conv over
+    # a 2x2 space-to-depth input (exact math, much better MXU utilization
+    # at C_in=3); no effect on other modes or on checkpoints
+    stem_s2d: bool = True
     ctx: QuantCtx = QuantCtx.fp32()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
         ctx = self.ctx
         x = _ConvBN(ctx, "/conv1", self.stem_width, (7, 7), (2, 2),
-                    name_conv="conv1", name_bn="bn1")(x, mode, train)
+                    name_conv="conv1", name_bn="bn1",
+                    s2d=self.stem_s2d)(x, mode, train)
         x = _relu(ctx, "/relu", x, mode, name="relu")
         if ctx.act_layer_enabled("nn_maxpool2d"):
             from ..nn.layers import QuantMaxPool

@@ -381,6 +381,7 @@ class QuantConv(_QuantLayerBase):
     bias_init: Callable = nn.initializers.zeros_init()
     param_dtype: Any = jnp.float32
     return_qinput: bool = False  # packed mode: also return the quantized input
+    s2d: bool = False  # packed mode: space-to-depth rewrite of a stride-2 stem
 
     def _conv(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.conv_general_dilated(
@@ -431,14 +432,34 @@ class QuantConv(_QuantLayerBase):
 
             q_a, z_eff = quantize_act_int8(x, a_scale, a_zero,
                                            a_spec.qmin, a_spec.qmax)
+            # zero==0 exactly only for symmetric *signed* grids (unsigned
+            # symmetric packs with a +2^(b-1) shift folded into w_zero)
+            wz0 = bool(w_spec.symmetric and w_spec.qmin < 0)
+            x_sh, pre_q = x, (q_a, z_eff)
+            if (self.s2d and tuple(self.strides) == (2, 2) and wz0
+                    and self.feature_group_count == 1
+                    and not self.return_qinput
+                    and not isinstance(self.padding, str)):
+                from ..ops.qconv import (s2d_block_padding, s2d_kernel,
+                                         space_to_depth)
+
+                kh, kw = w_int.shape[:2]
+                bp = s2d_block_padding(kh, kw, list(self.padding),
+                                       x.shape[1], x.shape[2])
+                if bp is not None and corr_a is not None:
+                    # exact rewrite: stride-1 conv over 2x2 depth-stacked
+                    # input; pack-time corr_a carries over (same output
+                    # grid, zero-padded taps contribute nothing)
+                    q_a = space_to_depth(q_a)
+                    w_int = s2d_kernel(w_int)
+                    conv_kw = dict(strides=(1, 1), padding=bp, groups=1)
+                    x_sh, pre_q = q_a, (q_a, z_eff)
             out = quant_conv2d(
-                x, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
+                x_sh, a_scale, a_zero, a_spec.qmin, a_spec.qmax,
                 w_int, w_scale, w_zero, bias,
-                # zero==0 exactly only for symmetric *signed* grids (unsigned
-                # symmetric packs with a +2^(b-1) shift folded into w_zero)
-                w_zero_is_zero=bool(w_spec.symmetric and w_spec.qmin < 0),
+                w_zero_is_zero=wz0,
                 corr_a=corr_a,
-                pre_q=(q_a, z_eff), **conv_kw,
+                pre_q=pre_q, **conv_kw,
             )
             if self.return_qinput:
                 from .qtensor import QTensor

@@ -45,12 +45,16 @@ def _mha_kernel(q_ref, kv_ref, o_ref, *, num_heads: int, scale: float,
     row0 = pl.program_id(1) * tile_q
     x = q_ref[0]                                     # (TQ, 3H, D)
     kv = kv_ref[0]                                   # (S, 3H, D)
-    # head-major views; lane dim (D) untouched, so these are sublane moves
-    qt = jnp.transpose(x[:, :h, :], (1, 0, 2)).astype(jnp.float32) * scale
-    kt = jnp.transpose(kv[:, h:2 * h, :], (1, 0, 2)).astype(jnp.float32)
-    vt = jnp.transpose(kv[:, 2 * h:, :], (1, 0, 2))  # (H, S, D)
+    # head-major views (batch dims must lead for Mosaic matmuls). Transpose
+    # in f32 — bf16 sublane transposes profiled ~2x slower (packed-pair
+    # relayout) — then cast the matmul operands back to bf16 for MXU rate.
+    qt = jnp.transpose(x[:, :h, :].astype(jnp.float32), (1, 0, 2)) * scale
+    kt = jnp.transpose(kv[:, h:2 * h, :].astype(jnp.float32), (1, 0, 2))
+    vt = jnp.transpose(kv[:, 2 * h:, :].astype(jnp.float32), (1, 0, 2))
+    mm_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
     scores = jax.lax.dot_general(                    # (H, TQ, S) f32
-        qt, kt, (((2,), (2,)), ((0,), (0,))),
+        qt.astype(mm_dtype), kt.astype(mm_dtype),
+        (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + row0
@@ -60,7 +64,8 @@ def _mha_kernel(q_ref, kv_ref, o_ref, *, num_heads: int, scale: float,
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     out = jax.lax.dot_general(                       # (H, TQ, D)
-        p.astype(vt.dtype), vt, (((2,), (1,)), ((0,), (0,))),
+        p.astype(mm_dtype), vt.astype(mm_dtype),
+        (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     o_ref[0] = jnp.transpose(out, (1, 0, 2)).astype(o_ref.dtype)
 

@@ -482,16 +482,23 @@ def quant_matmul_wo(
 
 
 # ---------------------------------------------------------------------------
-# XLA-native variants (compiler-scheduled; also CPU-safe)
+# XLA-native variants — THE production matmul backend (final design).
 #
-# Device-trace profiling on v5e (docs/BENCH_NOTES.md) showed the Pallas
-# matmul kernels losing to XLA's native int8 path at transformer shapes:
-# each pallas_call is a fusion barrier, so the activation quantize, the
-# pad-to-block / slice-back, and the epilogue all materialize separately
-# (ViT-B/16 W4A8 spent ~35 ms/step in reshape/copy/slice/pad alone). The
-# XLA variants express the same math as dot_general(int8, int8) + an
-# elementwise epilogue that XLA fuses into neighbors. The Pallas kernels
-# are kept as the explicit-kernel alternative (set_matmul_backend).
+# Verdict after device-trace bake-offs on v5e (docs/BENCH_NOTES.md,
+# scripts/bench_mm_shapes.py): for *plain quantized matmuls* XLA's native
+# `dot_general(int8, int8) -> int32` + fused elementwise epilogue beats the
+# hand-written Pallas kernels at every production shape — each pallas_call
+# is a fusion barrier, so the activation quantize, pad-to-block/slice-back,
+# and epilogue all materialize separately (ViT-B/16 W4A8 spent ~35 ms/step
+# in reshape/copy/slice/pad alone on the Pallas path). Pallas wins where
+# *fusion across ops* is the point, and those kernels ARE shipped as the
+# default packed path: fused LayerNorm(+int8 quantize) (ops/pallas/
+# layernorm.py) and fused multi-head attention (ops/pallas/attention.py).
+#
+# The Pallas matmul kernels below are retained as the explicit-kernel
+# oracle tier (`set_matmul_backend("pallas")`): cross-tested against the
+# XLA variants in tests/test_qmatmul.py, exactly the role the reference's
+# naive mode-0 CUDA kernels played (linear.cu:144).
 # ---------------------------------------------------------------------------
 
 _MATMUL_BACKEND = "xla"  # "xla" | "pallas"

@@ -133,3 +133,58 @@ def quant_conv2d_wo(
     if bias is not None:
         out = out + bias
     return out
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth stem transform (packed inference)
+#
+# A stride-2 KxK conv on few input channels (the ResNet 7x7x3 stem) wastes
+# the MXU: C_in=3 leaves 125 of 128 K-lanes idle and the strided window
+# halves spatial reuse. Rewriting it as a stride-1 ceil(K/2)^2 conv over a
+# 2x2 space-to-depth input (C_in*4 channels) computes the *exact* same
+# sums: the kernel is pre-padded to even size with zero rows/cols, so the
+# extra taps contribute nothing, and padding geometry maps 1:1 onto block
+# padding. The pack-time z_a correction map carries over unchanged (same
+# output grid; padded taps have zero weight). Valid whenever stride == 2,
+# (pad_before + kernel-pad) is even, and weight zero-points are exactly
+# zero (the production symmetric-signed default) — asymmetric weights
+# would need a recomputed row-sum geometry.
+# ---------------------------------------------------------------------------
+
+def space_to_depth(x: jnp.ndarray, s: int = 2) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/s, W/s, s*s*C); channel index (dy, dx, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // s, w // s, s * s * c)
+
+
+def s2d_kernel(w: jnp.ndarray, s: int = 2) -> jnp.ndarray:
+    """(kh, kw, ci, co) -> (ceil(kh/s), ceil(kw/s), s*s*ci, co) with zero
+    pre-padding; channel order matches :func:`space_to_depth`."""
+    kh, kw, ci, co = w.shape
+    ph, pw = (-kh) % s, (-kw) % s
+    w = jnp.pad(w, ((ph, 0), (pw, 0), (0, 0), (0, 0)))
+    kb_h, kb_w = (kh + ph) // s, (kw + pw) // s
+    w = w.reshape(kb_h, s, kb_w, s, ci, co)
+    w = w.transpose(0, 2, 1, 3, 4, 5)
+    return w.reshape(kb_h, kb_w, s * s * ci, co)
+
+
+def s2d_block_padding(kh: int, kw: int, pad, h: int, w: int, s: int = 2):
+    """Block-space explicit padding equivalent to ``pad`` on the original
+    stride-``s`` conv (kernel pre-padded per :func:`s2d_kernel`).
+
+    Returns None when no exact block mapping exists (odd pad+kernel-pad
+    alignment)."""
+    (pht, phb), (pwt, pwb) = pad
+    ph, pw = (-kh) % s, (-kw) % s
+    if (pht + ph) % s or (pwt + pw) % s or h % s or w % s:
+        return None
+    out_h = (h + pht + phb - kh) // s + 1
+    out_w = (w + pwt + pwb - kw) // s + 1
+    pb_h, pb_w = (pht + ph) // s, (pwt + pw) // s
+    kb_h, kb_w = (kh + ph) // s, (kw + pw) // s
+    pa_h = max(0, (out_h - 1) - pb_h + kb_h - h // s)
+    pa_w = max(0, (out_w - 1) - pb_w + kb_w - w // s)
+    return [(pb_h, pa_h), (pb_w, pa_w)]

@@ -152,6 +152,13 @@ def main() -> None:
     for m, dur in sorted(agg2.items(), key=lambda kv: -kv[1])[:25]:
         print(f"{m[:104]:<104} {dur/1e3:>9.3f}")
 
+    unattr = [(n, d) for n, d in rows
+              if n not in meta and not n.startswith("jit_")]
+    if unattr:
+        print("\ntop unattributed trace ops:")
+        for n, d in unattr[:12]:
+            print(f"{n[:70]:<70} {cnt[n]:>5} {d/1e3:>9.3f}")
+
 
 if __name__ == "__main__":
     main()

@@ -275,3 +275,46 @@ def test_resnet_act_quant_layers_opt_in():
     assert y_q.shape == y_p.shape == (2, 10)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_q),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_s2d_stem_matches_direct_conv():
+    """Space-to-depth stem rewrite == direct stride-2 conv (exact math)."""
+    import quantize_tpu.nn.layers as layers_mod
+
+    rng = np.random.default_rng(20)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    model = QuantConv(features=16, kernel_size=(7, 7), strides=(2, 2),
+                      padding=[(3, 3), (3, 3)], quant=cfg_w8a8(), s2d=True)
+    variables = calibrated(model, x)
+    _, upd = model.apply(variables, x, mode="pack", mutable=["packed"])
+    vp = {**variables, **upd}
+    y_s2d = model.apply(vp, x, mode="packed")
+
+    direct = QuantConv(features=16, kernel_size=(7, 7), strides=(2, 2),
+                       padding=[(3, 3), (3, 3)], quant=cfg_w8a8(), s2d=False)
+    y_direct = direct.apply(vp, x, mode="packed")
+    assert y_s2d.shape == y_direct.shape == (2, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_resnet50_packed_matches_sim():
+    """ResNet stem s2d (default on) keeps packed == quant at model level."""
+    W8A8 = {
+        "default": {
+            "weight": {"n_bits": 8, "symmetric": True, "signed": True,
+                       "granularity": "channel", "range": {"name": "minmax"}},
+            "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                           "range": {"name": "minmax"}},
+            "bn_folding": True,
+        }
+    }
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    model = MODELS.build("resnet18", num_classes=10, ctx=QuantCtx(W8A8))
+    v = calibrated(model, x)
+    y_sim = model.apply(v, x, mode="quant")
+    deploy = pack_model(model, v, x)
+    y_packed = model.apply(deploy, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
+                               rtol=2e-2, atol=2e-2)

@@ -179,5 +179,7 @@ def test_vit_packed_lane_aligned_ln_fusion_matches_sim():
     y_sim = model.apply(v, x, mode="quant")
     deploy = pack_model(model, v, x)
     y_packed = model.apply(deploy, x, mode="packed")
+    # packed uses the tanh-approx GELU (sim keeps exact erf), so allow a
+    # slightly wider band than pure-quantization equivalence tests
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
-                               rtol=2e-2, atol=2e-2)
+                               rtol=2e-2, atol=4e-2)
