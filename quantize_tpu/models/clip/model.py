@@ -162,20 +162,30 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32",
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
-        h = QuantMultiheadAttention(
+        from ...nn.norm import FusedLayerNorm
+
+        ln_1 = FusedLayerNorm(self.d_model, epsilon=1e-5, name="ln_1")
+        ln_2 = FusedLayerNorm(self.d_model, epsilon=1e-5, name="ln_2")
+        attn = QuantMultiheadAttention(
             self.d_model, self.n_head,
             quant=self.ctx.resolve(f"{self.qpath}/attn", "nn_multiheadattention"),
             name="attn",
-        )(h, mode=mode, mask=mask)
-        x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
-        h = QuantDense(self.d_model * 4, quant=self.ctx.resolve(f"{self.qpath}/mlp/c_fc", "nn_linear"),
-                       name="c_fc")(h, mode=mode)
+        )
+        c_fc = QuantDense(self.d_model * 4,
+                          quant=self.ctx.resolve(f"{self.qpath}/mlp/c_fc", "nn_linear"),
+                          name="c_fc")
+        c_proj = QuantDense(self.d_model,
+                            quant=self.ctx.resolve(f"{self.qpath}/mlp/c_proj", "nn_linear"),
+                            name="c_proj")
+        if mode == "packed":
+            # LN defers into the consumer's int8 quantize (as the ViT blocks)
+            x = x + attn(x, mode=mode, mask=mask, pre_norm=ln_1.params_tuple())
+            h = c_fc(x, mode=mode, pre_norm=ln_2.params_tuple())
+        else:
+            x = x + attn(ln_1(x, mode), mode=mode, mask=mask)
+            h = c_fc(ln_2(x, mode), mode=mode)
         h = quick_gelu(h)
-        h = QuantDense(self.d_model, quant=self.ctx.resolve(f"{self.qpath}/mlp/c_proj", "nn_linear"),
-                       name="c_proj")(h, mode=mode)
-        return x + h
+        return x + c_proj(h, mode=mode)
 
 
 class CLIPTransformer(nn.Module):
