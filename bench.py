@@ -162,6 +162,14 @@ def main() -> None:
         from quantize_tpu.nn.precision import set_packed_qin_carry
 
         set_packed_qin_carry(True)
+    if os.environ.get("BENCH_FUSED", "0") != "0":
+        # fused 1x1-conv + residual + ReLU Pallas epilogue (qconv1x1.py).
+        # Measured SLOWER than the XLA-fused path on v5e (6,462 vs 12,745
+        # img/s at batch 256): see docs/BENCH_NOTES.md round-2 addendum.
+        # Kept as an opt-in experiment / cross-tested oracle.
+        from quantize_tpu.nn.precision import set_packed_fused_residual
+
+        set_packed_fused_residual(True)
 
     packed_step = make_step("packed")
     t_packed = _time(packed_step, deploy_dev, iters)
@@ -187,12 +195,24 @@ def main() -> None:
         t_base = _time(base_step, variables_dev, iters)
         vs = round(t_base / t_packed, 3)
 
-    print(json.dumps({
+    record = {
         "metric": f"{model_name}_w{w_bits}a{a_bits}_packed_inference",
         "value": round(img_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": vs,
-    }))
+    }
+    # Attach the other headline metric (ViT-B/16 W4A8) when a measurement
+    # from this round exists (scripts/bench_vit.py writes it): both numbers
+    # named by BASELINE.json then land in one record.
+    vit_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "BENCH_VIT_r02.json")
+    if model_name == "resnet50" and os.path.exists(vit_path):
+        try:
+            with open(vit_path) as f:
+                record["secondary"] = json.load(f)
+        except Exception:
+            pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..nn.intercept import QuantCtx
 from ..nn.layers import QuantConv, QuantDense
-from ..nn.precision import packed_qin_carry
+from ..nn.precision import packed_fused_residual, packed_qin_carry
 
 
 class _BN(nn.Module):
@@ -35,6 +35,14 @@ class _BN(nn.Module):
 
 def _conv_kind(ctx: QuantCtx) -> str:
     return "nn_conv2d_bn2d" if ctx.bn_folding_enabled else "nn_conv2d"
+
+
+def _fuse_residual(ctx: QuantCtx, mode: str) -> bool:
+    """Gate for the fused conv+residual+ReLU packed epilogue: requires folded
+    BN (nothing between conv and add) and a plain (non-act-quantized) ReLU."""
+    return (mode == "packed" and packed_fused_residual()
+            and ctx.bn_folding_enabled
+            and not ctx.act_layer_enabled("nn_relu"))
 
 
 def _relu(ctx: QuantCtx, qpath: str, x, mode: str, name: str = "relu"):
@@ -75,7 +83,8 @@ class _ConvBN:
         # packed space-to-depth stem rewrite
         self.s2d = s2d
 
-    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False):
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False,
+                 residual=None, fuse_relu: bool = False):
         ctx = self.ctx
         pad = [(k // 2, k // 2) for k in self.kernel_size]
         x = QuantConv(
@@ -89,7 +98,7 @@ class _ConvBN:
             name=self.name_conv,
             return_qinput=self.return_qinput and mode == "packed",
             s2d=self.s2d,
-        )(x, mode=mode)
+        )(x, mode=mode, residual=residual, fuse_relu=fuse_relu)
         qin = None
         if self.return_qinput:
             if mode == "packed":
@@ -119,12 +128,17 @@ class BasicBlock(nn.Module):
             out, qin = out
         identity = x if qin is None else qin.dequant()
         out = _relu(self.ctx, f"{self.qpath}/relu", out, mode, name="relu1")
-        out = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3),
-                      name_conv="conv2", name_bn="bn2")(out, mode, train)
         if self.downsample:
             identity = _ConvBN(self.ctx, f"{self.qpath}/downsample/0", self.features, (1, 1),
                                self.strides, name_conv="downsample_conv",
                                name_bn="downsample_bn")(identity, mode, train)
+        conv2 = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3),
+                        name_conv="conv2", name_bn="bn2")
+        if _fuse_residual(self.ctx, mode):
+            # 3x3 conv: the Pallas 1x1 kernel doesn't apply, but the layer's
+            # unfused residual tail still fuses add+relu with the epilogue
+            return conv2(out, mode, train, residual=identity, fuse_relu=True)
+        out = conv2(out, mode, train)
         return _relu(self.ctx, f"{self.qpath}/relu", out + identity, mode, name="relu2")
 
 
@@ -151,12 +165,17 @@ class Bottleneck(nn.Module):
         out = _ConvBN(self.ctx, f"{self.qpath}/conv2", self.features, (3, 3), self.strides,
                       groups=self.groups, name_conv="conv2", name_bn="bn2")(out, mode, train)
         out = _relu(self.ctx, f"{self.qpath}/relu", out, mode, name="relu2")
-        out = _ConvBN(self.ctx, f"{self.qpath}/conv3", self.out_features, (1, 1),
-                      name_conv="conv3", name_bn="bn3")(out, mode, train)
         if self.downsample:
             identity = _ConvBN(self.ctx, f"{self.qpath}/downsample/0", self.out_features, (1, 1),
                                self.strides, name_conv="downsample_conv",
                                name_bn="downsample_bn")(identity, mode, train)
+        conv3 = _ConvBN(self.ctx, f"{self.qpath}/conv3", self.out_features, (1, 1),
+                        name_conv="conv3", name_bn="bn3")
+        if _fuse_residual(self.ctx, mode):
+            # conv3 + skip add + ReLU fused into one Pallas kernel: the fat
+            # block-boundary activation is written to HBM exactly once
+            return conv3(out, mode, train, residual=identity, fuse_relu=True)
+        out = conv3(out, mode, train)
         return _relu(self.ctx, f"{self.qpath}/relu", out + identity, mode, name="relu3")
 
 

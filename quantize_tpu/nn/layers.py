@@ -396,17 +396,26 @@ class QuantConv(_QuantLayerBase):
     def _use_p4c(self, in_ch: int, w_spec: QuantSpec) -> bool:
         return w_spec.enabled and w_spec.n_bits <= 4 and in_ch % 2 == 0
 
-    def _packed_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _packed_forward(self, x: jnp.ndarray, residual=None,
+                        fuse_relu: bool = False) -> jnp.ndarray:
         w_spec, a_spec = self._specs(self.quant)
         bias = self.get_variable("packed", "bias")
         conv_kw = dict(strides=tuple(self.strides), padding=self.padding,
                        groups=self.feature_group_count)
 
+        def _finish(out):
+            # unfused residual tail (structural conditions for the fused
+            # kernel unmet): matches the block-level add+relu it replaces
+            if residual is None:
+                return out
+            out = out.astype(packed_carry_dtype()) + residual
+            return jax.nn.relu(out) if fuse_relu else out
+
         if not w_spec.enabled:
             kernel = self.get_variable("params", "kernel")
             xq = self._packed_act(x, a_spec) if a_spec.enabled else x
             out = self._conv(xq, kernel) + bias
-            return (out, None) if self.return_qinput else out
+            return (out, None) if self.return_qinput else _finish(out)
 
         if self.has_variable("packed", "awq_recip"):
             raise NotImplementedError(
@@ -435,6 +444,16 @@ class QuantConv(_QuantLayerBase):
             # zero==0 exactly only for symmetric *signed* grids (unsigned
             # symmetric packs with a +2^(b-1) shift folded into w_zero)
             wz0 = bool(w_spec.symmetric and w_spec.qmin < 0)
+            if (residual is not None and wz0
+                    and tuple(self.kernel_size) == (1, 1)
+                    and tuple(self.strides) == (1, 1)
+                    and tuple(self.kernel_dilation) == (1, 1)
+                    and self.feature_group_count == 1):
+                from ..ops.pallas.qconv1x1 import conv1x1_residual
+
+                return conv1x1_residual(
+                    q_a, z_eff, a_scale, w_int, w_scale, bias, residual,
+                    relu=fuse_relu, out_dtype=packed_carry_dtype())
             x_sh, pre_q = x, (q_a, z_eff)
             if (self.s2d and tuple(self.strides) == (2, 2) and wz0
                     and self.feature_group_count == 1
@@ -467,20 +486,22 @@ class QuantConv(_QuantLayerBase):
                 qin = QTensor(q=q_a, scale=jnp.asarray(a_scale, jnp.float32),
                               z_eff=z_eff)
                 return out, qin
-            return out
+            return _finish(out)
         xq = self._packed_act(x, a_spec) if a_spec.enabled else x
         out = quant_conv2d_wo(xq, w_int, w_scale, w_zero, bias, **conv_kw)
         if self.return_qinput:
             return out, None  # non-fusable: no shareable quantized input
-        return out
+        return _finish(out)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32",
+                 residual=None, fuse_relu: bool = False) -> jnp.ndarray:
         if mode in _TAP_IO_MODES:
             self.sow("taps", "in", x)
             mode = _TAP_IO_MODES[mode]
         if mode == "packed":
-            out = self._packed_forward(x)
+            assert residual is None or not self.return_qinput
+            out = self._packed_forward(x, residual, fuse_relu)
             qin = None
             if self.return_qinput:
                 out, qin = out
@@ -521,6 +542,10 @@ class QuantConv(_QuantLayerBase):
             contract=self._conv,
             bias_reduce=lambda c: jnp.mean(c, axis=(0, 1)),  # (H',W',C)->(C,)
         )
+        if residual is not None:
+            out = out + residual
+            if fuse_relu:
+                out = jax.nn.relu(out)
         self.sow("taps", "out", out)
         return out
 

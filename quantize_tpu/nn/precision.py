@@ -41,6 +41,37 @@ def packed_carry(dtype: Any):
         set_packed_carry_dtype(prev)
 
 
+_FUSED_RESIDUAL: bool = False
+
+
+def set_packed_fused_residual(enabled: bool) -> None:
+    """Enable the fused 1x1-conv + residual + ReLU Pallas epilogue.
+
+    When on, packed residual blocks route their tail 1x1 conv (bottleneck
+    conv3) through :func:`quantize_tpu.ops.pallas.qconv1x1.conv1x1_residual`
+    so the conv, the skip add and the ReLU execute as one kernel — the fat
+    block-boundary activation is written to HBM exactly once. Falls back to
+    the unfused path wherever the structural conditions don't hold (non-1x1,
+    strided, grouped, asymmetric weights, act-quantized ReLU, unfolded BN).
+    """
+    global _FUSED_RESIDUAL
+    _FUSED_RESIDUAL = bool(enabled)
+
+
+def packed_fused_residual() -> bool:
+    return _FUSED_RESIDUAL
+
+
+@contextmanager
+def fused_residual(enabled: bool = True):
+    prev = _FUSED_RESIDUAL
+    set_packed_fused_residual(enabled)
+    try:
+        yield
+    finally:
+        set_packed_fused_residual(prev)
+
+
 def set_packed_qin_carry(enabled: bool) -> None:
     """Enable int8 quantized-domain carries across residual blocks.
 

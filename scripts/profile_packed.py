@@ -61,6 +61,8 @@ def main() -> None:
     ap.add_argument("--wbits", type=int, default=8)
     ap.add_argument("--abits", type=int, default=8)
     ap.add_argument("--mode", default="packed")
+    ap.add_argument("--fused", action="store_true",
+                    help="enable the fused 1x1-conv+residual Pallas epilogue")
     ap.add_argument("--trace-dir", default="/tmp/qtpu_profile")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -81,6 +83,10 @@ def main() -> None:
         from quantize_tpu.nn.precision import set_packed_carry_dtype
 
         set_packed_carry_dtype(args.carry)
+    if args.fused:
+        from quantize_tpu.nn.precision import set_packed_fused_residual
+
+        set_packed_fused_residual(True)
 
     batch, size = args.batch, args.size
 
