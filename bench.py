@@ -204,11 +204,13 @@ def main() -> None:
     # Attach the other headline metric (ViT-B/16 W4A8) when a measurement
     # from this round exists (scripts/bench_vit.py writes it): both numbers
     # named by BASELINE.json then land in one record.
-    vit_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results", "BENCH_VIT_r02.json")
-    if model_name == "resnet50" and os.path.exists(vit_path):
+    import glob
+
+    vit_paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results", "BENCH_VIT_r*.json")))
+    if model_name == "resnet50" and vit_paths:
         try:
-            with open(vit_path) as f:
+            with open(vit_paths[-1]) as f:
                 record["secondary"] = json.load(f)
         except Exception:
             pass

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quantize_tpu.models.clip import CLIPZeroShot
 from quantize_tpu.models.import_clip import import_clip
@@ -98,6 +99,7 @@ def synth_clip_vit_state_dict(rng, d=32, vis_layers=2, txt_layers=2, width=64,
     return sd
 
 
+@pytest.mark.slow  # full CLIP tower import; machinery covered by test_import_vit_fills_and_runs + test_clip.py
 def test_import_clip_vit_tower():
     rng = np.random.default_rng(1)
     overrides = dict(embed_dim=32, vision_layers=2, vision_width=64, vision_patch_size=8,

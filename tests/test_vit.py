@@ -98,6 +98,7 @@ def test_tiny_vit_packed_matches_sim():
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim), rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow  # full-size build smoke; tiny-ViT tests cover the logic
 def test_vit_b16_builds():
     model = MODELS.build("vit_b_16", num_classes=10)
     x = jnp.zeros((1, 224, 224, 3))
@@ -165,6 +166,7 @@ def test_mha_packed_fused_qkv_matches_per_projection():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # LN-kernel path covered by test_layernorm.py + tiny-ViT packed tests
 def test_vit_packed_lane_aligned_ln_fusion_matches_sim():
     """hidden_dim % 128 == 0 routes packed LayerNorms through the Pallas
     LN(+int8-quantize) kernels; the model output must still match the
