@@ -200,20 +200,45 @@ def main() -> None:
         "value": round(img_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": vs,
+        "baseline_dtype": baseline_dtype if run_baseline else None,
     }
     # Attach the other headline metric (ViT-B/16 W4A8) when a measurement
-    # from this round exists (scripts/bench_vit.py writes it): both numbers
-    # named by BASELINE.json then land in one record.
+    # exists (scripts/bench_vit.py writes results/BENCH_VIT_r*.json). That
+    # number is REPLAYED from the newest saved file, not measured by this
+    # run — it is tagged with its source path so staleness is visible.
     import glob
 
-    vit_paths = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results", "BENCH_VIT_r*.json")))
+    here = os.path.dirname(os.path.abspath(__file__))
+    # newest by mtime: picks up the auto-written *_latest.json from a fresh
+    # `python scripts/bench_vit.py` over stale hand-saved round files, and
+    # is immune to the lexicographic r9-vs-r10 trap
+    vit_paths = sorted(
+        glob.glob(os.path.join(here, "results", "BENCH_VIT_r*.json"))
+        + glob.glob(os.path.join(here, "results", "BENCH_vit_b_16_latest.json")),
+        key=os.path.getmtime)
     if model_name == "resnet50" and vit_paths:
         try:
             with open(vit_paths[-1]) as f:
                 record["secondary"] = json.load(f)
+            record["secondary_cached_from"] = os.path.relpath(vit_paths[-1], here)
         except Exception:
             pass
+    # Persist this run's own measurement (commit + timestamp) so replayed
+    # numbers are always traceable to a fresh file.
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip() or None
+    except Exception:
+        commit = None
+    out_rec = dict(record, commit=commit,
+                   timestamp=time.strftime("%Y-%m-%dT%H:%M:%S"))
+    os.makedirs(os.path.join(here, "results"), exist_ok=True)
+    with open(os.path.join(here, "results",
+                           f"BENCH_{model_name}_latest.json"), "w") as f:
+        json.dump(out_rec, f, indent=1)
     print(json.dumps(record))
 
 

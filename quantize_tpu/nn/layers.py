@@ -417,16 +417,30 @@ class QuantConv(_QuantLayerBase):
             out = self._conv(xq, kernel) + bias
             return (out, None) if self.return_qinput else _finish(out)
 
-        if self.has_variable("packed", "awq_recip"):
-            raise NotImplementedError(
-                "AWQ packed deploy is implemented for dense layers only "
-                "(the reference applies AWQ to linear/attention layers)")
         w_scale = self.get_variable("packed", "w_scale")
         w_zero = self.get_variable("packed", "w_zero")
         if self.has_variable("packed", "w_p4c"):
             w_int = unpack_int4_pairs(self.get_variable("packed", "w_p4c"), axis=2)
         else:
             w_int = self.get_variable("packed", "w_int")
+
+        if self.has_variable("packed", "awq_recip"):
+            # AWQ deploy is weight-only by construction (the kernel stores
+            # Q(w·awq); 1/awq folds into the dequantized weight, exactly the
+            # dense path's layout — reference awq.py:119-121 never shipped a
+            # packed path at all). Activations still fake-quant if enabled.
+            awq_recip = self.get_variable("packed", "awq_recip")
+            group = 0
+            if w_spec.range_name == "awq":
+                g = int(dict(w_spec.range_kwargs).get("q_group_size", -1) or -1)
+                group = g if g > 0 else 0
+            xq = self._packed_act(x, a_spec) if a_spec.enabled else x
+            out = quant_conv2d_wo(xq, w_int, w_scale, w_zero, bias,
+                                  awq_recip=awq_recip, group_size=group,
+                                  **conv_kw)
+            if self.return_qinput:
+                return out, None
+            return _finish(out)
 
         fusable = a_spec.enabled and not a_spec.per_channel
         if fusable:
@@ -444,7 +458,9 @@ class QuantConv(_QuantLayerBase):
             # zero==0 exactly only for symmetric *signed* grids (unsigned
             # symmetric packs with a +2^(b-1) shift folded into w_zero)
             wz0 = bool(w_spec.symmetric and w_spec.qmin < 0)
-            if (residual is not None and wz0
+            pad_zero = (self.padding in ("VALID", "SAME")  # identical for 1x1/s1
+                        or tuple(map(tuple, self.padding)) == ((0, 0), (0, 0)))
+            if (residual is not None and wz0 and pad_zero
                     and tuple(self.kernel_size) == (1, 1)
                     and tuple(self.strides) == (1, 1)
                     and tuple(self.kernel_dilation) == (1, 1)
@@ -500,7 +516,11 @@ class QuantConv(_QuantLayerBase):
             self.sow("taps", "in", x)
             mode = _TAP_IO_MODES[mode]
         if mode == "packed":
-            assert residual is None or not self.return_qinput
+            if residual is not None and self.return_qinput:
+                raise ValueError(
+                    "QuantConv: residual fusion and return_qinput are "
+                    "mutually exclusive (the qin-carry path has no fused "
+                    "residual tail)")
             out = self._packed_forward(x, residual, fuse_relu)
             qin = None
             if self.return_qinput:

@@ -168,10 +168,12 @@ class Quantizer(nn.Module):
                 aws_b = broadcast_to_axis(awq_scale, x.ndim, self.awq_in_axis)
                 xs = x * aws_b
                 if g:
-                    wg = xs.T.reshape(-1, g)
+                    # canonical group view: 2-D (K, N) first (matches the
+                    # AWQ observer and the deploy dequant for conv kernels)
+                    wg = xs.reshape(-1, xs.shape[-1]).T.reshape(-1, g)
                     q = quantize_core(wg, s, z, spec.qmin, spec.qmax,
                                       channel_axis=0, round_fn=round_fn)
-                    q = q.reshape(xs.shape[1], xs.shape[0]).T
+                    q = q.reshape(xs.shape[-1], -1).T.reshape(xs.shape)
                 else:
                     q = quantize_core(xs, s, z, spec.qmin, spec.qmax,
                                       spec.channel_axis, round_fn)
@@ -195,11 +197,11 @@ class Quantizer(nn.Module):
             # group row (reference quantizer.py:209-220 with q_group_size)
             aws_b = broadcast_to_axis(awq_scale, x.ndim, self.awq_in_axis)
             xs = x * aws_b
-            wg = xs.T.reshape(-1, g)
+            wg = xs.reshape(-1, xs.shape[-1]).T.reshape(-1, g)
             q = quantize_core(wg, s, z, spec.qmin, spec.qmax, channel_axis=0,
                               round_fn=round_fn)
             deq = dequantize_core(q, s, z, channel_axis=0)
-            return deq.reshape(xs.shape[1], xs.shape[0]).T / aws_b
+            return deq.reshape(xs.shape[-1], -1).T.reshape(xs.shape) / aws_b
         return fake_quant(
             x, s, z, spec.qmin, spec.qmax,
             channel_axis=spec.channel_axis,

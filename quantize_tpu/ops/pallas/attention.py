@@ -89,6 +89,19 @@ def mha_fused_qkv(qkv: jnp.ndarray, num_heads: int, causal: bool = False,
     if d % 8 != 0:
         return _mha_ref(qkv, num_heads, causal, out_dtype)
     tile_q = min(256, max(8, s))
+    # VMEM guard: the kernel loads whole k/v rows per block plus f32 copies
+    # and an (H, TQ, S) f32 score tile. At its stated scope (S=197/77) this
+    # is ~2-3 MB; a long-sequence caller would otherwise die opaquely inside
+    # Mosaic. Budget ~12 MB of the ~16 MB/core VMEM, else fall back to jnp.
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    vmem_est = (
+        (tile_q + s) * 3 * num_heads * d * itemsize   # q tile + kv rows
+        + (tile_q + 2 * s) * 3 * num_heads * d * 4     # qt/kt/vt f32 copies
+        + 2 * num_heads * tile_q * s * 4               # scores + softmax f32
+        + tile_q * num_heads * d * (itemsize + 4)      # out tile (+f32 acc)
+    )
+    if vmem_est > 12 * 1024 * 1024:
+        return _mha_ref(qkv, num_heads, causal, out_dtype)
     grid = (b, _cdiv(s, tile_q))
     qkv4 = qkv.reshape(b, s, 3 * num_heads, d)
 

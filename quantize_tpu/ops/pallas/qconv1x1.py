@@ -53,7 +53,12 @@ def _conv1x1_res_call(q_a, w_int, scalars, col_sum_w, w_scale, bias, res,
                       block_m: int = 512, block_n: int = 256):
     m, k = q_a.shape
     n = w_int.shape[1]
-    bm, bn = min(block_m, m), min(block_n, n)
+    # round tile sizes up to hardware tile multiples (sublane 8 / lane 128):
+    # ragged inputs (e.g. m=49 in tests) would otherwise produce non-aligned
+    # block shapes that interpret-mode accepts but real Mosaic may not
+    rup = lambda v, t: -(-v // t) * t  # noqa: E731
+    bm = min(block_m, rup(m, 8))
+    bn = min(block_n, rup(n, 128))
     # K is kept whole per tile (<= 512 for ResNet-family bottlenecks); pad it
     # to the int8 sublane tile. Zero-padded K rows/cols contribute nothing
     # (w rows are zero) and col_sum_w is computed on the real K.

@@ -123,11 +123,33 @@ def quant_conv2d_wo(
     padding: Padding = "SAME",
     groups: int = 1,
     compute_dtype=jnp.float32,
+    awq_recip: Optional[jnp.ndarray] = None,
+    group_size: int = 0,
 ) -> jnp.ndarray:
     """Weight-only-quantized conv: dequantize weight (cheap, O(|W|)) and run
     the conv in float/bf16 — int storage halves/quarters weight HBM traffic;
-    the ``quantconv2d_float_input`` analog."""
-    w_deq = (w_int.astype(jnp.float32) + w_zero) * w_scale
+    the ``quantconv2d_float_input`` analog.
+
+    AWQ deploy (the conv analog of ``quant_matmul_wo``'s layouts): the packed
+    kernel stores Q(w·awq); ``awq_recip`` (C_in,) folds the 1/awq in-channel
+    divisor into the dequantized kernel. ``group_size`` > 0 selects the
+    reference's ``q_group_size`` grid (``awq.py:119-121``): per-group
+    scale/zero rows laid out exactly as the pack-time reshape
+    ``w.T.reshape(-1, g)`` produced them (``nn/quantizer.py`` mode='pack')."""
+    if group_size:
+        # canonical group view: (kh,kw,in,out) -> 2-D (K, N) -> (N*K/g, g),
+        # matching the AWQ observer's _group_view and the quantizer's pack
+        n = w_int.shape[-1]
+        flat = (w_int.astype(jnp.float32).reshape(-1, n).T
+                .reshape(-1, group_size))
+        s = jnp.asarray(w_scale, jnp.float32).reshape(-1, 1)
+        z = jnp.asarray(w_zero, jnp.float32).reshape(-1, 1)
+        w_deq = ((flat + z) * s).reshape(n, -1).T.reshape(w_int.shape)
+    else:
+        w_deq = (w_int.astype(jnp.float32) + w_zero) * w_scale
+    if awq_recip is not None:
+        # in-channel axis of HWIO is -2
+        w_deq = w_deq * jnp.asarray(awq_recip, jnp.float32).reshape(-1, 1)
     out = _conv(x.astype(compute_dtype), w_deq.astype(compute_dtype),
                 strides, padding, groups, preferred=jnp.float32)
     if bias is not None:

@@ -64,6 +64,7 @@ class InferenceEngine:
         )
         self.n_processed = 0
         self.n_batches = 0
+        self.n_failed = 0
         self.max_observed_in_flight = 0
 
     # -- lifecycle --------------------------------------------------------
@@ -105,6 +106,7 @@ class InferenceEngine:
         return {
             "processed": self.n_processed,
             "batches": self.n_batches,
+            "failed": self.n_failed,
             "mean_batch_fill": self.n_processed / max(self.n_batches, 1) / self.batch_size,
             "queue_depth": self._queue.qsize(),
         }
@@ -159,6 +161,8 @@ class InferenceEngine:
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
+                self.n_failed += n
+                continue  # failed batches stay out of the throughput stats
             self.n_processed += n
             self.n_batches += 1
 

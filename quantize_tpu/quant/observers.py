@@ -333,18 +333,23 @@ class AWQ(MinMax):
         }
 
     def _group_view(self, w: jnp.ndarray) -> jnp.ndarray:
-        """(in, out) -> (out*in/g, g): consecutive in-dims of one out row
-        share a group (the reference's ``_w.reshape(-1, g)`` on (out, in)
-        weights, ``awq.py:119-121``)."""
+        """(..., in, out) -> (out*K/g, g), K = prod(leading dims): consecutive
+        in-dims of one out row share a group (the reference's
+        ``_w.reshape(-1, g)`` on (out, in) weights, ``awq.py:119-121``).
+        Conv kernels (kh, kw, in, out) canonicalize to 2-D (kh*kw*in, out)
+        first, so a group spans g consecutive in-channels of one spatial tap
+        — the same canonicalization the quantizer's sim/pack and the deploy
+        dequant use."""
         g = self.q_group_size
-        assert w.ndim == 2, "q_group_size requires 2-D (in, out) weights"
-        assert w.shape[0] % g == 0, (
-            "in-features must be divisible by q_group_size"
+        w2 = w.reshape(-1, w.shape[-1])
+        assert w2.shape[0] % g == 0, (
+            "flattened in-features must be divisible by q_group_size"
         )
-        return w.T.reshape(-1, g)
+        return w2.T.reshape(-1, g)
 
     def _group_unview(self, wg: jnp.ndarray, shape) -> jnp.ndarray:
-        return wg.reshape(shape[1], shape[0]).T
+        n = shape[-1]
+        return wg.reshape(n, -1).T.reshape(shape)
 
     def __call__(
         self,

@@ -318,3 +318,30 @@ def test_s2d_resnet50_packed_matches_sim():
     y_packed = model.apply(deploy, x, mode="packed")
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("group", [0, 4])
+@pytest.mark.parametrize("w_bits", [8, 4])
+def test_conv_awq_packed_matches_sim(group, w_bits):
+    """AWQ packed deploy for CONV layers (the round-2 NotImplementedError,
+    nn/layers.py): the packed kernel stores Q(w·awq) and the weight-only
+    path folds 1/awq (and q_group_size grids) into the dequantized kernel,
+    exactly like the dense path (reference awq.py:119-121 scope extended)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+    rng_cfg = {"name": "awq", "grid": 8}
+    if group:
+        rng_cfg["q_group_size"] = group
+    cfg = LayerQuantCfg(
+        weight={"n_bits": w_bits, "symmetric": True, "signed": True,
+                "granularity": "channel", "range": rng_cfg},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+    model = QuantConv(features=16, kernel_size=(3, 3), quant=cfg)
+    variables = calibrated(model, x)
+    y_sim = model.apply(variables, x, mode="quant")
+    _, upd = model.apply(variables, x, mode="pack", mutable=["packed"])
+    y_packed = model.apply({**variables, **upd}, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
+                               rtol=3e-3, atol=3e-3)
