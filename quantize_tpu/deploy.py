@@ -31,10 +31,13 @@ def pack_model(model, variables: Dict[str, Any], sample_x: jnp.ndarray) -> Dict[
 
     params = _strip_packed_params(variables.get("params", {}), packed)
     deploy = {"packed": packed, "params": params}
-    if "qparams" in variables:
-        deploy["qparams"] = variables["qparams"]
-    if "batch_stats" in variables:
-        deploy["batch_stats"] = variables["batch_stats"]
+    # carry non-simulation collections through to deploy: qparams (for
+    # activation-only layers), batch_stats (unfolded BN), zeroshot (CLIP
+    # class weights), and any future model-owned state. Observer state,
+    # taps, and AdaRound V are simulation-only.
+    for col, val in variables.items():
+        if col not in ("params", "packed", "qobs", "taps", "adaround"):
+            deploy[col] = val
     return deploy
 
 
