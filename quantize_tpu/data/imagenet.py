@@ -77,10 +77,26 @@ class FolderDataset:
             imgs = list(pool.map(self._decode, indices))
         else:
             imgs = [self._decode(i) for i in indices]
-        batch = imgs
-        if self.transform is not None:
+
+        def _tf(chunk):
             # transforms handle ragged sizes via per-image PIL ops
-            batch = self.transform(np.asarray(imgs, dtype=object) if _ragged(imgs) else np.stack(imgs))
+            return self.transform(
+                np.asarray(chunk, dtype=object) if _ragged(chunk)
+                else np.stack(chunk))
+
+        if self.transform is not None:
+            if pool is not None and len(imgs) > 1:
+                # transforms (PIL resize/crop release the GIL too) run on
+                # per-worker chunks in the same pool — a serial batch
+                # transform was measured NOT to scale with decode workers
+                # (scripts/bench_decode.py), capping the feed rate
+                nw = pool._max_workers
+                size = max(1, -(-len(imgs) // nw))
+                chunks = [imgs[k:k + size] for k in range(0, len(imgs), size)]
+                parts = list(pool.map(_tf, chunks))
+                batch = np.concatenate([np.asarray(p) for p in parts])
+            else:
+                batch = _tf(imgs)
         else:
             batch = np.stack(imgs)
         return {"img": np.asarray(batch, np.float32), "label": self.labels[indices]}

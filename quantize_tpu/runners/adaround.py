@@ -17,10 +17,22 @@ Two reconstruction modes (``cfg.runner.reconstruction``):
   then each layer's ``V`` is optimized alone against its cached pairs.
   Device memory is one layer's tensors — constant in network depth, so
   MobileNetV2 @ 224² fits a single chip's HBM.
+* ``'sequential'`` — blockwise memory layout with the REFERENCE's dataflow
+  (``runner/adaround.py:138-143``): layer L's inputs are recomputed through
+  the already-reconstructed quantized prefix (layers < L carry their final
+  ``V``), not captured from the FP32 pass. Targets stay the FP32 outputs.
+  One extra quantized forward per (layer, batch); device memory still one
+  layer's optimization at a time.
 * ``'joint'`` — the reference's literal two-forwards-per-step scheme (FP32
   + quantized in one jit, loss summed over all layers). Keeps full
   cross-layer gradients but holds every tap for both passes plus the
   backward in HBM at once.
+
+Host-cache bound: phase 1 keeps every layer's (input, FP32 output) per
+cached batch in host RAM. ``cfg.runner.max_cached_batches`` caps how many
+batches are cached (reconstruction then loops over the cached subset) —
+at the reference's 16-shot calibration scale the cache is tiny, but the cap
+makes large-loader configs safe.
 """
 from __future__ import annotations
 
@@ -65,7 +77,7 @@ class AdaRound(PTQ):
 
     def _reconstruction(self) -> str:
         mode = (self.cfg.runner.reconstruction if self.cfg.runner else None) or "blockwise"
-        assert mode in ("blockwise", "joint"), mode
+        assert mode in ("blockwise", "sequential", "joint"), mode
         return mode
 
     def _init_adaround(self, batch):
@@ -221,8 +233,12 @@ class AdaRound(PTQ):
             f"adaround blockwise: {len(clones)} layers to reconstruct")
 
         # phase 1: ONE tap-capture pass per batch; (input, fp32 out) pairs
-        # offloaded to host (reference runner/adaround.py:131-136)
+        # offloaded to host (reference runner/adaround.py:131-136).
+        # ``runner.max_cached_batches`` bounds the host cache.
         model = self.model
+        sequential = self._reconstruction() == "sequential"
+        max_cached = (self.cfg.runner.max_cached_batches
+                      if self.cfg.runner else None)
 
         def _cap(variables, img):
             _, upd = model.apply(variables, img, mode="tap_io", mutable=["taps"])
@@ -230,8 +246,28 @@ class AdaRound(PTQ):
 
         cap = jax.jit(_cap)
         caches: List[dict] = []
+        imgs: List[np.ndarray] = []
         for batch in self._prefetch(self.train_loader):
+            if max_cached and len(caches) >= int(max_cached):
+                self.logger.info(
+                    f"adaround: host cache capped at {max_cached} batches "
+                    "(runner.max_cached_batches); reconstruction loops over "
+                    "the cached subset")
+                break
             caches.append(jax.device_get(cap(self.variables, jnp.asarray(batch["img"]))))
+            if sequential:
+                imgs.append(np.asarray(batch["img"]))
+
+        # sequential dataflow: recompute layer L's inputs through the
+        # already-reconstructed quantized prefix (reference
+        # runner/adaround.py:138-143). Returns the full quant-mode tap tree;
+        # only the requested layer's input leaf is fetched to host.
+        def _cap_quant(variables, img):
+            _, upd = model.apply(variables, img, mode="tap_io_quant",
+                                 mutable=["taps"])
+            return upd["taps"]
+
+        cap_quant = jax.jit(_cap_quant)
 
         # phase 2: per-layer V optimization against the cached pairs —
         # device memory is one layer at a time, constant in depth
@@ -240,6 +276,14 @@ class AdaRound(PTQ):
             tap = _tree_get(caches[0], path)
             if tap is None:
                 continue
+            x_ins = None
+            if sequential:
+                x_ins = [
+                    np.asarray(jax.device_get(_tree_get(
+                        cap_quant(self.variables, jnp.asarray(im)),
+                        path)["in"][0]))
+                    for im in imgs
+                ]
             tx = build_optimizer(self.cfg, steps_per_epoch=max(len(caches), 1))
             lv = self._layer_vars(path)
             ada = lv["adaround"]
@@ -248,9 +292,10 @@ class AdaRound(PTQ):
             it = 0
             loss = jnp.float32(0.0)
             for epoch in range(self.max_epoch):
-                for cache in caches:
+                for bi, cache in enumerate(caches):
                     t = _tree_get(cache, path)
-                    x_in, y_fp = t["in"][0], t["out"][0]
+                    x_in = x_ins[bi] if x_ins is not None else t["in"][0]
+                    y_fp = t["out"][0]
                     beta = self._beta(it, steps_total)
                     ada, opt_state, loss = step(
                         lv, opt_state, jnp.asarray(x_in), jnp.asarray(y_fp),
