@@ -58,7 +58,8 @@ class EncoderBlock(nn.Module):
     mlp_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mode: str = "fp32") -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32",
+                 seq_len: int = 0, valid_len: int = 0) -> jnp.ndarray:
         dt = _compute_dtype(mode)
         ln_1 = FusedLayerNorm(self.hidden_dim, epsilon=1e-6, dtype=dt, name="ln_1")
         ln_2 = FusedLayerNorm(self.hidden_dim, epsilon=1e-6, dtype=dt, name="ln_2")
@@ -72,8 +73,10 @@ class EncoderBlock(nn.Module):
         if mode == "packed":
             # defer each LayerNorm into its consumer: the Pallas LN kernel
             # fuses with the consumer's int8 activation quantize, so the
-            # normalized tensor never round-trips through HBM
-            x = x + attn(x, mode=mode, pre_norm=ln_1.params_tuple())
+            # normalized tensor never round-trips through HBM. The carry is
+            # 2-D (B*S, E) rows — see VisionTransformer.
+            x = x + attn(x, mode=mode, pre_norm=ln_1.params_tuple(),
+                         seq_len=seq_len, valid_len=valid_len)
             return x + mlp(x, mode=mode, pre_norm=ln_2.params_tuple())
         x = x + attn(ln_1(x, mode), mode=mode)
         return x + mlp(ln_2(x, mode), mode=mode)
@@ -110,15 +113,31 @@ class VisionTransformer(nn.Module):
                          (1, seq_len, self.hidden_dim))
         x = x + (pos.astype(dt) if dt is not None else pos)
 
+        packed = mode == "packed"
+        s_pad = seq_len
+        if packed:
+            # 2-D (B*S, E) carry through the whole encoder: S=197 is not
+            # sublane-aligned, so every (B, S, E) <-> (B*S, E) reshape is a
+            # full relayout on TPU — device traces showed them costing ~21%
+            # of the step. One pad+relayout here, zero inside the encoder.
+            # S pads to the sublane multiple; pad KEYS are masked inside the
+            # attention kernel (valid_len), pad query rows carry garbage that
+            # every rowwise op keeps isolated and the cls gather drops.
+            s_pad = -(-seq_len // 8) * 8
+            if s_pad != seq_len:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - seq_len), (0, 0)))
+            x = x.reshape(n * s_pad, self.hidden_dim)
+
         for i in range(self.num_layers):
             x = EncoderBlock(
                 self.ctx, f"/encoder/layers/encoder_layer_{i}",
                 self.num_heads, self.hidden_dim, self.mlp_dim,
                 name=f"encoder_layer_{i}",
-            )(x, mode=mode)
+            )(x, mode=mode, seq_len=s_pad, valid_len=seq_len)
         x = FusedLayerNorm(self.hidden_dim, epsilon=1e-6,
                            dtype=_compute_dtype(mode), name="ln")(x, mode)
-        x = x[:, 0]
+        # class-token rows: stride-S slice in 2-D, plain index in 3-D
+        x = x[::s_pad] if packed else x[:, 0]
         return QuantDense(self.num_classes, quant=self.ctx.resolve("/heads/head", "nn_linear"),
                           name="head")(x, mode=mode)
 

@@ -105,10 +105,22 @@ class QuantMultiheadAttention(nn.Module):
         mode: str = "fp32",
         mask: Optional[jnp.ndarray] = None,
         pre_norm=None,
+        seq_len: Optional[int] = None,
+        valid_len: int = 0,
     ) -> jnp.ndarray:
         assert self.embed_dim % self.num_heads == 0
         head_dim = self.embed_dim // self.num_heads
-        b, s, _ = x.shape
+        # packed callers may pass 2-D (B*S, E) rows + a static seq_len: the
+        # whole attention then runs without ever materializing a 3-D view
+        # (S-misaligned (B, S, ...) reshapes are full relayouts on TPU —
+        # measured 21% of the packed ViT-B/16 step, docs/BENCH_NOTES.md r3)
+        rows_2d = x.ndim == 2
+        if rows_2d:
+            assert seq_len, "2-D attention input needs seq_len"
+            s = int(seq_len)
+            b = x.shape[0] // s
+        else:
+            b, s, _ = x.shape
 
         pc = _proj_cfg(self.quant)
         q_mod = QuantDense(self.embed_dim, use_bias=self.use_bias, quant=pc, name="q_proj")
@@ -123,9 +135,10 @@ class QuantMultiheadAttention(nn.Module):
             fused = _fused_qkv_packed(x, (q_mod, k_mod, v_mod), pc, pre_norm)
 
         if mode == "packed" and (mask is None or causal):
-            # fully fused attention middle: one Pallas kernel per
-            # (batch, head, q-tile); scores/softmax never touch HBM
-            from ..ops.pallas.attention import mha_fused_qkv
+            # fully fused attention middle: one Pallas kernel per batch row
+            # block; scores/softmax never touch HBM
+            from ..ops.pallas.attention import (mha_fused_qkv,
+                                                mha_fused_qkv_rows)
 
             if fused is not None:
                 qkv = fused
@@ -137,8 +150,13 @@ class QuantMultiheadAttention(nn.Module):
                 qkv = jnp.concatenate(
                     [q_mod(x, mode=mode), k_mod(x, mode=mode),
                      v_mod(x, mode=mode)], axis=-1)
-            out = mha_fused_qkv(qkv, self.num_heads, causal=causal,
-                                out_dtype=qkv.dtype)
+            if rows_2d:
+                out = mha_fused_qkv_rows(qkv, self.num_heads, s,
+                                         causal=causal, out_dtype=qkv.dtype,
+                                         valid_len=valid_len)
+            else:
+                out = mha_fused_qkv(qkv, self.num_heads, causal=causal,
+                                    out_dtype=qkv.dtype)
         else:
             if fused is not None:
                 n = self.embed_dim
@@ -163,7 +181,9 @@ class QuantMultiheadAttention(nn.Module):
                 scores = scores + mask
             attn = nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
-            out = out.transpose(0, 2, 1, 3).reshape(b, s, self.embed_dim)
+            out = out.transpose(0, 2, 1, 3)
+            out = (out.reshape(b * s, self.embed_dim) if rows_2d
+                   else out.reshape(b, s, self.embed_dim))
 
         oc = _proj_cfg(self.quant, force_mse=True, disable_act=True)
         return QuantDense(self.embed_dim, use_bias=self.use_bias, quant=oc, name="out_proj")(out, mode=mode)

@@ -41,9 +41,11 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
-                     embed: int, scale: float, causal: bool):
+                     embed: int, scale: float, causal: bool,
+                     valid_len: int):
     h, d, e = num_heads, head_dim, embed
     x = x_ref[:]                                     # (S, 3E)
+    s = x.shape[0]
     mm_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
     outs = []
     for hh in range(h):
@@ -54,10 +56,13 @@ def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
             qh.astype(mm_dtype), kh.astype(mm_dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if causal:
+        if causal or valid_len < s:
             rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(cols <= rows, scores, -1e30)
+            ok = cols < valid_len  # pad keys never attended
+            if causal:
+                ok = jnp.logical_and(ok, cols <= rows)
+            scores = jnp.where(ok, scores, -1e30)
         m = jnp.max(scores, axis=-1, keepdims=True)
         ex = jnp.exp(scores - m)
         p = ex / jnp.sum(ex, axis=-1, keepdims=True)
@@ -69,14 +74,20 @@ def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
 
 
 def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
-                       causal: bool = False, out_dtype=None) -> jnp.ndarray:
+                       causal: bool = False, out_dtype=None,
+                       valid_len: int = 0) -> jnp.ndarray:
     """Multi-head self-attention over fused qkv rows.
 
     Args:
         qkv: (B*S, 3E) — the fused q/k/v projection output, batch-major rows.
+            Mosaic blocks per batch need ``S % 8 == 0``: callers with ragged
+            sequences (ViT's 197) pad S up and pass the true ``valid_len`` —
+            pad keys are masked out in-kernel, pad query rows carry garbage
+            that the caller's row layout keeps isolated.
         num_heads: H; head_dim = E // H.
-        seq_len: S (static); B = rows // S.
+        seq_len: S (static, padded); B = rows // S.
         causal: apply a causal mask (CLIP text tower).
+        valid_len: number of real rows per batch (0 = all of seq_len).
     Returns:
         (B*S, E) attention output (pre out-projection), same row layout.
     """
@@ -85,6 +96,7 @@ def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
     d = e // num_heads
     s = int(seq_len)
     b = rows // s
+    valid = int(valid_len) or s
     assert e * 3 == three_e and d * num_heads == e and b * s == rows
     out_dtype = out_dtype or qkv.dtype
     itemsize = jnp.dtype(qkv.dtype).itemsize
@@ -94,12 +106,13 @@ def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
                 + 3 * s * d * 4                 # qh/kh/vh f32
                 + 2 * s * s * 4                 # scores + softmax f32
                 + s * e * (4 + itemsize))       # out concat + store
-    if d % 8 != 0 or vmem_est > 12 * 1024 * 1024:
-        return _mha_ref_rows(qkv, num_heads, s, causal, out_dtype)
+    if d % 8 != 0 or s % 8 != 0 or vmem_est > 12 * 1024 * 1024:
+        return _mha_ref_rows(qkv, num_heads, s, causal, out_dtype, valid)
 
     out = pl.pallas_call(
         functools.partial(_mha_rows_kernel, num_heads=num_heads, head_dim=d,
-                          embed=e, scale=1.0 / (d ** 0.5), causal=causal),
+                          embed=e, scale=1.0 / (d ** 0.5), causal=causal,
+                          valid_len=valid),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((s, three_e), lambda bi: (bi, 0),
@@ -117,25 +130,32 @@ def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
 
 def mha_fused_qkv(qkv: jnp.ndarray, num_heads: int, causal: bool = False,
                   out_dtype=None) -> jnp.ndarray:
-    """3-D convenience wrapper: (B, S, 3E) -> (B, S, E) via the rows kernel."""
+    """3-D convenience wrapper: (B, S, 3E) -> (B, S, E) via the rows kernel,
+    padding ragged S up to the sublane multiple (pad keys masked)."""
     b, s, three_e = qkv.shape
     e = three_e // 3
-    out = mha_fused_qkv_rows(qkv.reshape(b * s, three_e), num_heads, s,
-                             causal=causal, out_dtype=out_dtype)
-    return out.reshape(b, s, e)
+    s_pad = _cdiv(s, 8) * 8
+    valid = s
+    if s_pad != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
+    out = mha_fused_qkv_rows(qkv.reshape(b * s_pad, three_e), num_heads,
+                             s_pad, causal=causal, out_dtype=out_dtype,
+                             valid_len=valid)
+    out = out.reshape(b, s_pad, e)
+    return out[:, :s] if s_pad != s else out
 
 
 def _mha_ref_rows(qkv: jnp.ndarray, num_heads: int, s: int, causal: bool,
-                  out_dtype) -> jnp.ndarray:
+                  out_dtype, valid_len: int = 0) -> jnp.ndarray:
     rows, three_e = qkv.shape
     e = three_e // 3
     out = _mha_ref(qkv.reshape(rows // s, s, three_e), num_heads, causal,
-                   out_dtype)
+                   out_dtype, valid_len)
     return out.reshape(rows, e)
 
 
 def _mha_ref(qkv: jnp.ndarray, num_heads: int, causal: bool,
-             out_dtype) -> jnp.ndarray:
+             out_dtype, valid_len: int = 0) -> jnp.ndarray:
     """jnp oracle (also the fallback for exotic head dims / long sequences)."""
     b, s, three_e = qkv.shape
     e = three_e // 3
@@ -148,6 +168,10 @@ def _mha_ref(qkv: jnp.ndarray, num_heads: int, causal: bool,
     qh, kh, vh = split(q), split(k), split(v)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh.astype(jnp.float32),
                         kh.astype(jnp.float32)) / (d ** 0.5)
+    valid = int(valid_len) or s
+    if valid < s:
+        keymask = (jnp.arange(s) < valid).reshape(1, 1, 1, s)
+        scores = jnp.where(keymask, scores, -1e30)
     if causal:
         mask = jnp.triu(jnp.full((s, s), -1e30, jnp.float32), k=1)
         scores = scores + mask
