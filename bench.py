@@ -162,6 +162,11 @@ def main() -> None:
         from quantize_tpu.nn.precision import set_packed_qin_carry
 
         set_packed_qin_carry(True)
+    if os.environ.get("BENCH_CONV_BARRIER", "0") != "0":
+        # materialize int8 conv inputs (anti-producer-recompute experiment)
+        from quantize_tpu.nn.precision import set_packed_conv_barrier
+
+        set_packed_conv_barrier(True)
     if os.environ.get("BENCH_FUSED", "0") != "0":
         # fused 1x1-conv + residual + ReLU Pallas epilogue (qconv1x1.py).
         # Measured SLOWER than the XLA-fused path on v5e (6,462 vs 12,745

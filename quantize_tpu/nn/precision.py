@@ -97,3 +97,24 @@ def qin_carry(enabled: bool = True):
         yield
     finally:
         set_packed_qin_carry(prev)
+
+
+_CONV_BARRIER: bool = False
+
+
+def set_packed_conv_barrier(enabled: bool) -> None:
+    """Materialize each packed conv's int8 quantized activation with
+    ``lax.optimization_barrier`` before the convolution.
+
+    The ViT campaign found XLA output-fusing a matmul's entire producer
+    chain (previous op + nonlinearity + quantize) into the consumer and
+    recomputing it per output tile (docs/BENCH_NOTES.md round 2); this flag
+    applies the same targeted fix to the CNN path's ``quant_conv2d`` to test
+    whether the conv3 above-bound anomaly is producer recompute.
+    """
+    global _CONV_BARRIER
+    _CONV_BARRIER = bool(enabled)
+
+
+def packed_conv_barrier() -> bool:
+    return _CONV_BARRIER

@@ -83,6 +83,12 @@ def quant_conv2d(
         q_a, z_eff = pre_q
     else:
         q_a, z_eff = quantize_act_int8(x, a_scale, a_zero, a_qmin, a_qmax)
+        from ..nn.precision import packed_conv_barrier
+
+        if packed_conv_barrier():
+            # forbid XLA from output-fusing (and re-computing) the producer
+            # chain into this conv's fusion — see set_packed_conv_barrier
+            q_a = jax.lax.optimization_barrier(q_a)
 
     acc = _conv(q_a, w_int.astype(jnp.int8), strides, padding, groups,
                 preferred=jnp.int32).astype(jnp.float32)
