@@ -63,6 +63,10 @@ def main() -> None:
     ap.add_argument("--mode", default="packed")
     ap.add_argument("--fused", action="store_true",
                     help="enable the fused 1x1-conv+residual Pallas epilogue")
+    ap.add_argument("--qin", action="store_true",
+                    help="int8 quantized-domain residual carries")
+    ap.add_argument("--barrier", action="store_true",
+                    help="optimization_barrier on quantized conv inputs")
     ap.add_argument("--trace-dir", default="/tmp/qtpu_profile")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -87,6 +91,14 @@ def main() -> None:
         from quantize_tpu.nn.precision import set_packed_fused_residual
 
         set_packed_fused_residual(True)
+    if args.qin:
+        from quantize_tpu.nn.precision import set_packed_qin_carry
+
+        set_packed_qin_carry(True)
+    if args.barrier:
+        from quantize_tpu.nn.precision import set_packed_conv_barrier
+
+        set_packed_conv_barrier(True)
 
     batch, size = args.batch, args.size
 

@@ -58,3 +58,52 @@ def test_packed_attention_uses_kernel_matches_sim(rng):
     y_packed_c = m.apply(deploy, x, mode="packed", mask="causal")
     np.testing.assert_allclose(np.asarray(y_packed_c), np.asarray(y_sim_c),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("s,valid", [(200, 197), (80, 77), (16, 16)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_mha_rows_kernel_valid_len_masking(rng, s, valid, causal):
+    """2-D rows kernel: pad keys (rows >= valid_len) must not influence any
+    valid query row — compare against the oracle run on the UNPADDED data."""
+    from quantize_tpu.ops.pallas.attention import mha_fused_qkv_rows
+
+    b, h, d = 2, 4, 64
+    e = h * d
+    qkv = rng.normal(size=(b, valid, 3 * e)).astype(np.float32)
+    padded = np.zeros((b, s, 3 * e), np.float32)
+    padded[:, :valid] = qkv
+    # garbage in the pad rows must be inert
+    padded[:, valid:] = 37.0
+    out = mha_fused_qkv_rows(jnp.asarray(padded.reshape(b * s, 3 * e)),
+                             h, s, causal=causal, valid_len=valid)
+    out = np.asarray(out).reshape(b, s, e)[:, :valid]
+    ref = _mha_ref(jnp.asarray(qkv), h, causal, jnp.float32)
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_mha_module_2d_rows_matches_3d(rng):
+    """QuantMultiheadAttention packed: 2-D rows input == 3-D input."""
+    import jax
+
+    from quantize_tpu.deploy import pack_model
+    from quantize_tpu.nn.attention import QuantMultiheadAttention
+    from quantize_tpu.nn.layers import LayerQuantCfg
+
+    cfg = LayerQuantCfg(
+        weight={"n_bits": 8, "symmetric": True, "signed": True,
+                "granularity": "channel", "range": {"name": "minmax"}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+    b, s, e = 2, 8, 128
+    x = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    m = QuantMultiheadAttention(e, 2, quant=cfg)
+    v = dict(m.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    v.pop("taps", None)
+    _, upd = m.apply(v, x, mode="calibrate", mutable=["qobs", "qparams"])
+    v = {**v, **upd}
+    deploy = pack_model(m, v, x)
+    y3 = m.apply(deploy, x, mode="packed")
+    y2 = m.apply(deploy, x.reshape(b * s, e), mode="packed", seq_len=s)
+    np.testing.assert_allclose(np.asarray(y2).reshape(b, s, e),
+                               np.asarray(y3), rtol=1e-5, atol=1e-5)
