@@ -161,7 +161,8 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32",
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 seq_len: int = 0, valid_len: int = 0) -> jnp.ndarray:
         from ...nn.norm import FusedLayerNorm
 
         ln_1 = FusedLayerNorm(self.d_model, epsilon=1e-5, name="ln_1")
@@ -178,8 +179,11 @@ class ResidualAttentionBlock(nn.Module):
                             quant=self.ctx.resolve(f"{self.qpath}/mlp/c_proj", "nn_linear"),
                             name="c_proj")
         if mode == "packed":
-            # LN defers into the consumer's int8 quantize (as the ViT blocks)
-            x = x + attn(x, mode=mode, mask=mask, pre_norm=ln_1.params_tuple())
+            # LN defers into the consumer's int8 quantize (as the ViT blocks);
+            # the carry may be 2-D (B*S, E) rows (seq_len set) — same
+            # relayout-free layout as the packed ViT encoder
+            x = x + attn(x, mode=mode, mask=mask, pre_norm=ln_1.params_tuple(),
+                         seq_len=seq_len, valid_len=valid_len)
             h = c_fc(x, mode=mode, pre_norm=ln_2.params_tuple())
         else:
             x = x + attn(ln_1(x, mode), mode=mode, mask=mask)
@@ -197,12 +201,13 @@ class CLIPTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: str = "fp32",
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 seq_len: int = 0, valid_len: int = 0) -> jnp.ndarray:
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.ctx, f"{self.qpath}/resblocks/{i}", self.width, self.heads,
                 name=f"resblock_{i}",
-            )(x, mode=mode, mask=mask)
+            )(x, mode=mode, mask=mask, seq_len=seq_len, valid_len=valid_len)
         return x
 
 
@@ -233,9 +238,20 @@ class CLIPVisionTransformer(nn.Module):
                          (x.shape[1], self.width))
         x = x + pos[None]
         x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        s_len = x.shape[1]
+        packed = mode == "packed"
+        s_pad = s_len
+        if packed:
+            # 2-D rows through the tower (relayout-free; see models/vit.py)
+            s_pad = -(-s_len // 8) * 8
+            if s_pad != s_len:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - s_len), (0, 0)))
+            x = x.reshape(n * s_pad, self.width)
         x = CLIPTransformer(self.ctx, "/visual/transformer", self.width, self.layers,
-                            self.heads, name="transformer")(x, mode=mode)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
+                            self.heads, name="transformer")(
+            x, mode=mode, seq_len=s_pad, valid_len=s_len)
+        x = x[::s_pad] if packed else x[:, 0]
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x)
         proj = self.param("proj", nn.initializers.normal(scale), (self.width, self.output_dim))
         return x @ proj
 
@@ -297,13 +313,26 @@ class CLIP(nn.Module):
         position (highest token id, reference ``model.py:343-356``)."""
         x = self.token_embedding(text)
         x = x + self.positional_embedding[None, : x.shape[1]]
+        n, s_len = x.shape[0], x.shape[1]
+        packed = mode == "packed"
+        s_pad = s_len
+        if packed:
+            s_pad = -(-s_len // 8) * 8
+            if s_pad != s_len:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - s_len), (0, 0)))
+            x = x.reshape(n * s_pad, x.shape[-1])
         # "causal" sentinel: packed mode runs the fused Pallas attention
-        # kernel with an in-kernel causal mask; simulation modes materialize
-        # the additive mask (same math as the reference's attn_mask)
-        x = self.transformer(x, mode=mode, mask="causal")
+        # kernel with an in-kernel causal mask (pad keys also masked);
+        # simulation modes materialize the additive mask (same math as the
+        # reference's attn_mask)
+        x = self.transformer(x, mode=mode, mask="causal",
+                             seq_len=s_pad, valid_len=s_len)
         x = self.ln_final(x)
         eot = jnp.argmax(text, axis=-1)
-        x = x[jnp.arange(x.shape[0]), eot]
+        if packed:
+            x = x[jnp.arange(n) * s_pad + eot]
+        else:
+            x = x[jnp.arange(n), eot]
         return x @ self.text_projection
 
     def __call__(self, image: jnp.ndarray, text: jnp.ndarray, mode: str = "fp32"):
