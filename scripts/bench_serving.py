@@ -44,21 +44,34 @@ def main() -> None:
     import jax
 
     deploy_dev = jax.device_put(deploy, jax.devices()[0])
-    engine = InferenceEngine(model, deploy_dev, batch_size=batch,
-                             mode="packed", max_wait_ms=5.0,
-                             max_in_flight=4)
+    # uint8 pixel ingress + on-device dequant-normalize: quarters the
+    # host->device payload, which IS the serving bottleneck (measured
+    # ~35 MB/s fresh-buffer ingress through this environment's tunnel;
+    # PCIe-attached chips are faster but ingress-bound at scale too)
+    import jax.numpy as jnp_
+
+    engine = InferenceEngine(
+        model, deploy_dev, batch_size=batch, mode="packed", max_wait_ms=5.0,
+        max_in_flight=4, input_dtype=np.uint8,
+        preprocess=lambda x: x.astype(jnp_.float32) / 64.0 - 2.0)
 
     rng = np.random.default_rng(0)
-    # a pool of distinct images cycled through (result caching on this
-    # runtime is keyed on exact inputs; vary every submit)
-    pool = [rng.normal(size=(size, size, 3)).astype(np.float32)
+    pool = [rng.integers(0, 255, size=(size, size, 3)).astype(np.uint8)
             for _ in range(64)]
 
+    # pre-compile the packed forward OUTSIDE the dispatch thread (remote
+    # compiles take minutes; the engine threads should only ever execute)
+    import jax.numpy as jnp
+
+    warm = jnp.asarray(np.stack([pool[i % 64] for i in range(batch)]))
+
+    np.asarray(engine._forward(engine.variables, warm))
+
     with engine:
-        # warmup: one full batch through (compile + pipeline spin-up)
-        futs = [engine.submit(pool[i % 64] + np.float32(i)) for i in range(batch)]
+        # pipeline spin-up batch
+        futs = [engine.submit(np.roll(pool[i % 64], i, axis=0)) for i in range(batch)]
         for f in futs:
-            f.result(timeout=600)
+            f.result(timeout=900)
 
         t0 = time.perf_counter()
         futs = []
@@ -85,6 +98,7 @@ def main() -> None:
         "max_in_flight_observed": engine.max_observed_in_flight,
         "failed": stats["failed"],
         "host_cores": os.cpu_count(),
+        "input_dtype": "uint8",
         "commit": commit,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }

@@ -112,3 +112,26 @@ def test_serving_on_mesh():
         futs = eng.submit_many(images)
         results = [f.result(timeout=60) for f in futs]
     assert all(r.shape == (4,) for r in results)
+
+
+def test_uint8_ingress_with_on_device_preprocess():
+    """uint8 pixel submits + jitted on-device normalize must match f32
+    submits of the pre-normalized images (ingress-compression path)."""
+    import jax.numpy as jnp
+
+    model, _, variables = _packed_testcnn()
+    rng = np.random.default_rng(5)
+    imgs8 = [rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+             for _ in range(8)]
+    pre = lambda x: x.astype(jnp.float32) / 128.0 - 1.0  # noqa: E731
+
+    with InferenceEngine(model, variables, batch_size=4,
+                         input_dtype=np.uint8, preprocess=pre) as eng:
+        outs8 = [f.result(timeout=120)
+                 for f in eng.submit_many(imgs8)]
+    with InferenceEngine(model, variables, batch_size=4) as eng:
+        outsf = [f.result(timeout=120)
+                 for f in eng.submit_many(
+                     [im.astype(np.float32) / 128.0 - 1.0 for im in imgs8])]
+    for a, b in zip(outs8, outsf):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
