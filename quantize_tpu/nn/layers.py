@@ -442,6 +442,29 @@ class QuantConv(_QuantLayerBase):
                 return out, None
             return _finish(out)
 
+        # depthwise convs (groups == in_channels) are MXU-hostile as int8:
+        # device traces on MobileNetV2 showed them at 54% of the packed step
+        # and the int8 path running 2x SLOWER than the bf16 forward. Execute
+        # the same quantized math on the VPU instead: fake-quant the
+        # activation, dequantize the (tiny) depthwise weight, bf16 conv —
+        # bit-equal to simulation up to carry rounding.
+        in_ch = x.shape[-1]
+        depthwise = (self.feature_group_count > 1
+                     and self.feature_group_count == in_ch)
+        if depthwise and not self.return_qinput and residual is None:
+            xq = self._packed_act(x, a_spec) if a_spec.enabled else x
+            w_deq = (w_int.astype(jnp.float32) + w_zero) * w_scale
+            cdt = packed_carry_dtype()
+            out = jax.lax.conv_general_dilated(
+                xq.astype(cdt), w_deq.astype(cdt),
+                window_strides=tuple(self.strides), padding=self.padding,
+                rhs_dilation=tuple(self.kernel_dilation),
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            return out
+
         fusable = a_spec.enabled and not a_spec.per_channel
         if fusable:
             a_scale = self.get_variable("packed", "a_scale").reshape(())
