@@ -107,3 +107,36 @@ def test_mha_module_2d_rows_matches_3d(rng):
     y2 = m.apply(deploy, x.reshape(b * s, e), mode="packed", seq_len=s)
     np.testing.assert_allclose(np.asarray(y2).reshape(b, s, e),
                                np.asarray(y3), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_attention_awq_weight_only(rng):
+    """AWQ on attention projections (the reference's AWQ config scope,
+    configs/runners/ptq/awq/base.yaml): packed deploy falls back to
+    per-projection weight-only matmuls (no fused qkv) and must match the
+    quant simulation."""
+    import jax
+
+    from quantize_tpu.deploy import pack_model
+    from quantize_tpu.nn.attention import QuantMultiheadAttention
+    from quantize_tpu.nn.layers import LayerQuantCfg
+
+    cfg = LayerQuantCfg(
+        weight={"n_bits": 4, "symmetric": True, "signed": True,
+                "granularity": "channel",
+                "range": {"name": "awq", "grid": 6}},
+        activation={"n_bits": 8, "symmetric": False, "granularity": "layer",
+                    "range": {"name": "minmax"}},
+    )
+    x = jnp.asarray(rng.normal(size=(2, 8, 64)).astype(np.float32))
+    m = QuantMultiheadAttention(64, 2, quant=cfg)
+    v = dict(m.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    v.pop("taps", None)
+    _, upd = m.apply(v, x, mode="calibrate", mutable=["qobs", "qparams"])
+    v = {**v, **upd}
+    y_sim = m.apply(v, x, mode="quant")
+    deploy = pack_model(m, v, x)
+    # q/k/v carry AWQ reciprocals -> weight-only deploy layout
+    assert "awq_recip" in deploy["packed"]["q_proj"]
+    y_packed = m.apply(deploy, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
+                               rtol=2e-2, atol=2e-2)
