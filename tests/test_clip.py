@@ -99,3 +99,29 @@ def test_zeroshot_pipeline_quantized():
                                 tokenizer=tok, mode="quant")
     logits2 = model.apply(variables2, x, mode="quant")
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+@pytest.mark.slow
+def test_clip_modified_resnet_zeroshot_packed():
+    """CLIP RN tower (ModifiedResNet + attention pooling) through the full
+    packed deploy path: packed == quant simulation (reference clip_rn50
+    zero-shot, ``modelzoo/clip/model.py:94-150``)."""
+    from quantize_tpu.deploy import pack_model
+    from quantize_tpu.models.clip import build_zeroshot
+
+    clip = CLIPZeroShot(backbone="RN50", num_classes=4, ctx=QuantCtx(W8A8),
+                        config_overrides=TINY_RN)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    cv = dict(clip.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+    cv.pop("taps", None)
+    _, upd = clip.apply(cv, x, mode="calibrate", mutable=["qobs", "qparams"])
+    cv = {**cv, **upd}
+    tok = HashTokenizer(64)
+    cv = build_zeroshot(clip, cv, ["a", "b", "c", "d"], tokenizer=tok,
+                        mode="quant")
+    y_sim = clip.apply(cv, x, mode="quant")
+    deploy = pack_model(clip, cv, x)
+    y_packed = clip.apply(deploy, x, mode="packed")
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
+                               rtol=5e-2, atol=5e-2)
