@@ -219,7 +219,9 @@ def main() -> None:
     # is immune to the lexicographic r9-vs-r10 trap
     vit_paths = sorted(
         glob.glob(os.path.join(here, "results", "BENCH_VIT_r*.json"))
-        + glob.glob(os.path.join(here, "results", "BENCH_vit_b_16_latest.json")),
+        + glob.glob(os.path.join(
+            here, "results",
+            "BENCH_vit_b_16_w4a8_packed_inference_latest.json")),
         key=os.path.getmtime)
     if model_name == "resnet50" and vit_paths:
         try:
@@ -242,7 +244,7 @@ def main() -> None:
                    timestamp=time.strftime("%Y-%m-%dT%H:%M:%S"))
     os.makedirs(os.path.join(here, "results"), exist_ok=True)
     with open(os.path.join(here, "results",
-                           f"BENCH_{model_name}_latest.json"), "w") as f:
+                           f"BENCH_{record['metric']}_latest.json"), "w") as f:
         json.dump(out_rec, f, indent=1)
     print(json.dumps(record))
 

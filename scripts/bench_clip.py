@@ -7,7 +7,7 @@ synthesis, BENCH_K seed-chained batches per dispatch, hard value fetch,
 bf16-forward baseline. The reference counterpart is the CLIPModel eval loop
 (``modelzoo/clip/__init__.py:53-60``) which published no throughput.
 
-Prints ONE JSON line and writes results/BENCH_clip_latest.json.
+Prints ONE JSON line and writes results/BENCH_<metric>_latest.json.
 Env: BENCH_BATCH (128) / BENCH_K (8) / BENCH_ITERS (5) / BENCH_BACKBONE.
 """
 from __future__ import annotations
@@ -141,7 +141,7 @@ def main() -> None:
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     os.makedirs(os.path.join(here, "results"), exist_ok=True)
-    with open(os.path.join(here, "results", "BENCH_clip_latest.json"), "w") as f:
+    with open(os.path.join(here, "results", f"BENCH_{record['metric']}_latest.json"), "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
 

@@ -103,7 +103,7 @@ def main() -> None:
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     os.makedirs(os.path.join(here, "results"), exist_ok=True)
-    with open(os.path.join(here, "results", "BENCH_serving_latest.json"),
+    with open(os.path.join(here, "results", f"BENCH_{record['metric']}_latest.json"),
               "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
