@@ -211,6 +211,23 @@ class Quantizer(nn.Module):
             round_fn=round_fn,
         )
 
+def reset_observers(variables: dict) -> dict:
+    """Drop all observer accumulators (the ``qobs`` collection) so the next
+    ``mode="calibrate"`` pass restarts every observer from its identity
+    state (they are recreated on the fly — ``qobs`` is mutable during
+    calibration).
+
+    ``model.init`` necessarily runs one calibrate trace, so observers have
+    already ingested the RANDOM init weights and the init batch. After real
+    weights are imported (torch checkpoint), those running stats would
+    poison the ranges — running min/max keeps the max over init and real
+    weights, inflating weight scales wherever the random init was wider
+    (caught by ``tests/test_golden_models.py`` scale parity). ``qparams``
+    are kept: scale/zero are rewritten on the next calibrate step and
+    importer-installed ``static_scale`` entries must survive."""
+    return {k: v for k, v in variables.items() if k != "qobs"}
+
+
 def quantize_with_qparams(x: jnp.ndarray, spec: QuantSpec, qparams: dict) -> tuple:
     """Deploy-path quantization from an exported qparams subtree.
 

@@ -99,6 +99,11 @@ class BasicRunner:
         self.variables = import_torch_checkpoint(
             str(self.cfg.model.name), sd, self.variables,
             fold_bn=fold, into_scale=into_scale)
+        # init ran a calibrate trace on the RANDOM init weights; restart
+        # every observer so calibration sees only the imported weights
+        from ..nn.quantizer import reset_observers
+
+        self.variables = reset_observers(self.variables)
 
     def _maybe_precompute_zeroshot(self) -> None:
         """CLIP zero-shot weights: one-time text-tower pass over class

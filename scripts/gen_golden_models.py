@@ -1,0 +1,321 @@
+"""Generate FULL-NETWORK golden parity fixtures from the reference's own
+pipeline: build a torch model -> ``modelzoo.reconstruct.reconstruct()``
+(``/root/reference/modelzoo/reconstruct.py:15``) -> PTQ multi-batch
+calibration exactly as ``runner/ptq.py:51-68`` does (``calibrating`` flags
+on, quantizers off, K forward passes) -> fp32 and quantized logits.
+
+This composes what the layer tier (``gen_golden_layers.py``) cannot:
+BN-fold chains across residual blocks, observer state accumulated over
+multiple calibration batches, quant-config scoping through ``reconstruct``'s
+regex machinery, and whole-tower assembly with fused-``in_proj`` attention.
+
+Fixtures (``tests/golden/models.json``) store only logits + input seeds +
+parameter name/shape lists — weights regenerate deterministically from
+``tests/golden/weightgen.py``. Architectures are torchvision-layout
+ResNet-18 (defined inline; torchvision is absent in this env — the layout is
+the public standard the reference builds on, ``modelzoo/cnns/resnet.py:8-21``)
+and a 2-block pre-LN MHA stack (the reference's ViT zoo is torchvision's,
+``modelzoo/transformers/vision_transformer.py:6-16``).
+
+The reference package is imported in ISOLATION: its real ``utils`` package
+(Configs/dict_merge/Register) plus ``modelzoo/modules`` + ``reconstruct.py``;
+``engine`` is a pure-Python stub (the CUDA paths are never reached by the
+simulate pipeline). Regenerating needs the reference checkout + torch; the
+committed JSON does not.
+"""
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = os.environ.get("QTPU_REFERENCE", "/root/reference")
+OUT = os.path.join(REPO, "tests", "golden", "models.json")
+
+sys.path.insert(0, os.path.join(REPO, "tests", "golden"))
+from weightgen import gen_input, gen_param  # noqa: E402
+
+torch.manual_seed(0)
+torch.set_grad_enabled(False)
+
+
+# ---------------------------------------------------------------------------
+# Isolated import: real reference utils + modules + reconstruct
+# ---------------------------------------------------------------------------
+
+def _import_pkg(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(path, "__init__.py"),
+        submodule_search_locations=[path])
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_reference():
+    # engine stub first (modules import it); pure-Python tpack/tunpack only
+    eng_dir = os.path.join(REF, "engine", "utils")
+    eng = types.ModuleType("engine")
+    for fname in ("tensor_packing", "functions"):
+        spec = importlib.util.spec_from_file_location(
+            f"refengine_{fname}", os.path.join(eng_dir, f"{fname}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        for k in dir(mod):
+            if not k.startswith("_"):
+                setattr(eng, k, getattr(mod, k))
+
+    def _missing(name):
+        def fn(*a, **k):
+            raise NotImplementedError(f"engine.{name} is CUDA-only")
+        return fn
+
+    for name in ("conv2d", "quantlinear", "quantconv2d",
+                 "quantlinear_float_input", "quantconv2d_float_input"):
+        if not hasattr(eng, name):
+            setattr(eng, name, _missing(name))
+    sys.modules["engine"] = eng
+
+    _import_pkg("utils", os.path.join(REF, "utils"))  # real Configs et al.
+
+    # synthetic modelzoo package: just .modules + .reconstruct (the real
+    # __init__ pulls in torchvision, absent here)
+    mz = types.ModuleType("refmz")
+    mz.__path__ = [os.path.join(REF, "modelzoo")]
+    sys.modules["refmz"] = mz
+    importlib.import_module("refmz.modules")
+    rec = importlib.import_module("refmz.reconstruct")
+    quantizer = importlib.import_module("refmz.modules.quantizer")
+    return rec.reconstruct, quantizer.Quantizer
+
+
+reconstruct, Quantizer = _load_reference()
+from utils import Configs  # noqa: E402  (the reference's, just installed)
+
+
+# ---------------------------------------------------------------------------
+# Architectures (torchvision layout, defined inline)
+# ---------------------------------------------------------------------------
+
+class BasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet18(nn.Module):
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = self._make_layer(64, 2, 1)
+        self.layer2 = self._make_layer(128, 2, 2)
+        self.layer3 = self._make_layer(256, 2, 2)
+        self.layer4 = self._make_layer(512, 2, 2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512, num_classes)
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
+                nn.BatchNorm2d(planes))
+        layers = [BasicBlock(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes
+        for _ in range(1, blocks):
+            layers.append(BasicBlock(planes, planes))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = self.avgpool(x)
+        return self.fc(torch.flatten(x, 1))
+
+
+class PreLNBlock(nn.Module):
+    def __init__(self, d, h, m):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(d)
+        self.self_attention = nn.MultiheadAttention(d, h)  # seq-first
+        self.ln_2 = nn.LayerNorm(d)
+        self.mlp = nn.Sequential(nn.Linear(d, m), nn.GELU(), nn.Linear(m, d))
+
+    def forward(self, x):
+        y = self.ln_1(x)
+        a, _ = self.self_attention(y, y, y, need_weights=False)
+        x = x + a
+        return x + self.mlp(self.ln_2(x))
+
+
+class MHAStack(nn.Module):
+    """2-block pre-LN transformer encoder + mean-pool head (S, B, E) in."""
+
+    def __init__(self, d=32, h=4, m=64, depth=2, num_classes=10):
+        super().__init__()
+        self.blocks = nn.Sequential(*[PreLNBlock(d, h, m) for _ in range(depth)])
+        self.ln = nn.LayerNorm(d)
+        self.head = nn.Linear(d, num_classes)
+
+    def forward(self, x):
+        x = self.ln(self.blocks(x))
+        return self.head(x.mean(dim=0))
+
+
+# ---------------------------------------------------------------------------
+# The reference's PTQ pipeline (runner/ptq.py:51-68 semantics)
+# ---------------------------------------------------------------------------
+
+def fill_weights(model: nn.Module):
+    sd = model.state_dict()
+    names = []
+    for name, t in sd.items():
+        if not torch.is_floating_point(t):
+            continue
+        t.copy_(torch.from_numpy(gen_param(name, tuple(t.shape))))
+        names.append([name, list(t.shape)])
+    return names
+
+
+def set_mode(model, calibrating: bool, quantized: bool):
+    for m in model.modules():
+        if hasattr(m, "calibrating"):
+            m.calibrating = calibrating
+        if isinstance(m, Quantizer):
+            m.quant(quantized)
+
+
+def dump_qparams(model):
+    """Post-calibration scale/zero of every live Quantizer, by module path.
+
+    This is the decisive calibration-parity artifact: logits across
+    frameworks carry rounding-boundary-flip noise, but calibrated ranges
+    see the SAME fp32 dataflow and must agree almost exactly."""
+    out = {}
+    for path, m in model.named_modules():
+        if isinstance(m, Quantizer) and getattr(m, "scale", None) is not None:
+            out[path] = {
+                "scale": np.asarray(m.scale, np.float32).reshape(-1).tolist(),
+                "zero": np.asarray(m.zero, np.float32).reshape(-1).tolist(),
+            }
+    return out
+
+
+def run_pipeline(model, quant_cfg: dict, x_shape, calib_seeds, eval_seed,
+                 in_scale=1.0, in_loc=0.0):
+    names = fill_weights(model)
+    model.eval()
+    model = reconstruct(model, Configs(quant_cfg))
+    # calibrate: K batches, fp32 dataflow (runner/ptq.py PTQ.train(True, False))
+    set_mode(model, calibrating=True, quantized=False)
+    for s in calib_seeds:
+        model(torch.from_numpy(gen_input(s, x_shape, in_scale, in_loc)))
+    x_eval = torch.from_numpy(gen_input(eval_seed, x_shape, in_scale, in_loc))
+    set_mode(model, calibrating=False, quantized=False)
+    fp32 = model(x_eval)
+    set_mode(model, calibrating=False, quantized=True)
+    quant = model(x_eval)
+    qparams = dump_qparams(model)
+    return names, np.asarray(fp32).reshape(-1), np.asarray(quant).reshape(-1), \
+        qparams
+
+
+W8 = {"n_bits": 8, "symmetric": True, "signed": True,
+      "granularity": "channel", "range": {"name": "minmax"}}
+A8 = {"n_bits": 8, "symmetric": False, "signed": False,
+      "granularity": "layer", "range": {"name": "minmax"}}
+W4_MSE = {"n_bits": 4, "symmetric": True, "signed": True,
+          "granularity": "channel", "range": {"name": "mse", "grid": 40}}
+
+CASES = []
+
+
+def add(case, names, fp32, quant, qparams):
+    case.update({
+        "param_names": names,
+        "fp32": fp32.astype(np.float32).tolist(),
+        "quant": quant.astype(np.float32).tolist(),
+        "qparams": qparams,
+    })
+    CASES.append(case)
+    d = float(np.abs(fp32 - quant).max())
+    print(f"  {case['case']}: fp32[0]={fp32[0]:.5g} quant[0]={quant[0]:.5g} "
+          f"max|fp32-quant|={d:.4g} n={fp32.size}")
+
+
+def resnet_case(name, quant_default, num_classes=10):
+    cfg = {"default": dict(quant_default)}
+    model = ResNet18(num_classes)
+    x_shape = (4, 3, 64, 64)
+    calib_seeds, eval_seed = [7001, 7002], 7010
+    names, fp32, quant, qp = run_pipeline(model, cfg, x_shape, calib_seeds,
+                                          eval_seed, in_scale=0.5, in_loc=0.1)
+    add({"case": name, "kind": "resnet18", "quant_cfg": cfg,
+         "num_classes": num_classes, "x_shape": list(x_shape),
+         "in_scale": 0.5, "in_loc": 0.1,
+         "calib_seeds": calib_seeds, "eval_seed": eval_seed},
+        names, fp32, quant, qp)
+
+
+def mha_case(name, quant_default, d=32, h=4, m=64, depth=2, num_classes=10):
+    cfg = {"default": dict(quant_default)}
+    model = MHAStack(d, h, m, depth, num_classes)
+    x_shape = (6, 2, d)  # (S, B, E) seq-first
+    calib_seeds, eval_seed = [7101, 7102], 7110
+    names, fp32, quant, qp = run_pipeline(model, cfg, x_shape, calib_seeds,
+                                          eval_seed)
+    add({"case": name, "kind": "mha_stack", "quant_cfg": cfg,
+         "d": d, "h": h, "m": m, "depth": depth, "num_classes": num_classes,
+         "x_shape": list(x_shape), "in_scale": 1.0, "in_loc": 0.0,
+         "calib_seeds": calib_seeds, "eval_seed": eval_seed},
+        names, fp32, quant, qp)
+
+
+print("generating full-network golden fixtures from the reference pipeline")
+resnet_case("resnet18_w8a8_bnfold",
+            {"weight": dict(W8), "activation": dict(A8), "bn_folding": True})
+resnet_case("resnet18_w8a8_intoscale",
+            {"weight": dict(W8), "activation": dict(A8),
+             "bn_folding": {"into_scale": True}})
+resnet_case("resnet18_w4mse_a8",
+            {"weight": dict(W4_MSE), "activation": dict(A8),
+             "bn_folding": True})
+mha_case("mha_stack_w8a8", {"weight": dict(W8), "activation": dict(A8),
+                            "bn_folding": False})
+mha_case("mha_stack_w4a8", {"weight": dict(W8, n_bits=4),
+                            "activation": dict(A8), "bn_folding": False})
+
+os.makedirs(os.path.dirname(OUT), exist_ok=True)
+with open(OUT, "w") as f:
+    json.dump({"generator": "scripts/gen_golden_models.py",
+               "reference": "JingInAI/Quantize reconstruct+PTQ pipeline",
+               "cases": CASES}, f)
+print(f"wrote {len(CASES)} cases to {OUT}")

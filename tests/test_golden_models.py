@@ -1,0 +1,300 @@
+"""FULL-NETWORK golden parity vs the reference's own pipeline.
+
+``scripts/gen_golden_models.py`` ran the reference's ``reconstruct()``
+(``modelzoo/reconstruct.py:15``) + the PTQ runner's calibration semantics
+(``runner/ptq.py:51-68``) on torch networks with deterministic seeded
+weights and recorded fp32 + quantized logits. Here the SAME networks are
+assembled from this framework's quant modules, calibrated on the SAME
+batches through ``mode="calibrate"``, and must reproduce those logits.
+
+This is the composition tier above ``test_golden_layers.py``: BN-fold
+chains across residual blocks, observer state across multi-batch
+calibration, regex-scoped config resolution, and whole-tower assembly with
+fused-in_proj attention are all on the line at once.
+"""
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import flax.linen as nn
+
+from quantize_tpu.models import MODELS
+from quantize_tpu.nn.attention import QuantMultiheadAttention
+from quantize_tpu.nn.intercept import QuantCtx
+from quantize_tpu.nn.layers import QuantDense
+from quantize_tpu.nn.norm import FusedLayerNorm
+from quantize_tpu.nn.quantizer import reset_observers
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, "golden"))
+from weightgen import gen_input, gen_param  # noqa: E402
+
+with open(os.path.join(_HERE, "golden", "models.json")) as f:
+    _FIXTURE = json.load(f)
+_CASES = {c["case"]: c for c in _FIXTURE["cases"]}
+
+
+def _state_dict(c):
+    return {name: gen_param(name, tuple(shape))
+            for name, shape in c["param_names"]}
+
+
+def _nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def _calibrate(model, variables, batches, **kw):
+    for x in batches:
+        _, upd = model.apply(variables, x, mode="calibrate",
+                             mutable=["qobs", "qparams"], **kw)
+        variables = {**variables, **upd}
+    return variables
+
+
+def _check_logits(ours, c, which, fp_tol=2e-3):
+    """fp32 must match tightly. Quantized logits cannot: an f32-reassociation
+    difference of ~1e-6 on ONE intermediate activation near a round()
+    boundary flips it by a full quant step, and ~20 composed layers
+    accumulate many flips — so cross-framework quant logits are compared
+    WITHIN the network's own quantization-noise envelope (|quant-fp32| of
+    the reference) plus argmax equality. Exact calibration parity is
+    asserted separately on every quantizer's scale/zero (`_check_qparams`),
+    which the fp32 calibration dataflow makes reassociation-insensitive."""
+    ref = np.asarray(c[which], np.float64)
+    ours = np.asarray(ours, np.float64).reshape(ref.shape)
+    if which == "fp32":
+        np.testing.assert_allclose(ours, ref, rtol=fp_tol, atol=fp_tol,
+                                   err_msg=f"{c['case']}: fp32 logits")
+        return
+    qnoise = np.abs(np.asarray(c["quant"], np.float64)
+                    - np.asarray(c["fp32"], np.float64))
+    diff = np.abs(ours - ref)
+    assert diff.max() <= max(5e-3, float(qnoise.max())), (
+        f"{c['case']}: quant logit diff {diff.max():.4g} exceeds the "
+        f"quantization noise envelope {qnoise.max():.4g}")
+    assert diff.mean() <= max(2e-3, 0.75 * float(qnoise.mean())), (
+        f"{c['case']}: mean quant diff {diff.mean():.4g} vs "
+        f"mean qnoise {qnoise.mean():.4g}")
+    n = len(ref) // c["num_classes"]
+    assert np.array_equal(
+        np.argmax(ours.reshape(n, -1), -1), np.argmax(ref.reshape(n, -1), -1)
+    ), f"{c['case']}: quant argmax disagrees"
+
+
+def _flat_qparams(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flat_qparams(v, f"{prefix}/{k}"))
+        else:
+            out[f"{prefix}/{k}"] = np.asarray(v, np.float64).reshape(-1)
+    return out
+
+
+def _check_qparams(variables, c, path_map):
+    """Every reference quantizer's calibrated (scale, zero) must be matched
+    by the mapped quantizer here. Calibration sees identical fp32 dataflow
+    on both sides, so ranges — single extreme values or deterministic grid
+    searches — agree to reassociation noise, not quant-step noise."""
+    mine = _flat_qparams(variables["qparams"])
+    checked = 0
+    for ref_path, rec in c["qparams"].items():
+        q = path_map(ref_path)
+        if q is None:
+            continue
+        for field in ("scale", "zero"):
+            key = f"{q}/{field}"
+            assert key in mine, f"{c['case']}: missing qparam {key}"
+            ref = np.asarray(rec[field], np.float64)
+            ours = mine[key]
+            assert ours.shape == ref.shape, (
+                f"{c['case']}: {key} shape {ours.shape} vs {ref.shape}")
+            atol = 0.05 if field == "zero" else 1e-7
+            np.testing.assert_allclose(
+                ours, ref, rtol=2e-3, atol=atol,
+                err_msg=f"{c['case']}: calibrated {key}")
+        checked += 1
+    assert checked >= len(c["qparams"]) * 0.9, (
+        f"{c['case']}: only {checked}/{len(c['qparams'])} quantizers mapped")
+
+
+# ---------------------------------------------------------------------------
+# ResNet-18: reconstruct -> calibrate -> quantized logits
+# ---------------------------------------------------------------------------
+
+def _resnet_qpath(ref_path):
+    """'layer1.0.conv1.w_quantizer' -> '/layer1_0/conv1/w_quantizer'."""
+    parts = ref_path.split(".")
+    out, i = [], 0
+    while i < len(parts):
+        p = parts[i]
+        if p.startswith("layer") and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(f"{p}_{parts[i + 1]}")
+            i += 2
+        elif p == "downsample" and i + 1 < len(parts) and parts[i + 1] == "0":
+            out.append("downsample_conv")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return "/" + "/".join(out)
+
+
+_RESNETS = [c["case"] for c in _FIXTURE["cases"] if c["kind"] == "resnet18"]
+
+
+@pytest.mark.parametrize("case", _RESNETS)
+def test_resnet18_pipeline_matches_reference(case):
+    from quantize_tpu.models.import_auto import import_torch_checkpoint
+
+    c = _CASES[case]
+    cfg = c["quant_cfg"]
+    bnf = cfg["default"].get("bn_folding")
+    into_scale = bool(bnf.get("into_scale")) if isinstance(bnf, dict) else False
+
+    model = MODELS.build("resnet18", num_classes=c["num_classes"],
+                         ctx=QuantCtx(cfg))
+    shape = tuple(c["x_shape"])  # (N, 3, H, W) torch order
+    batches = [jnp.asarray(_nhwc(gen_input(s, shape, c["in_scale"], c["in_loc"])))
+               for s in c["calib_seeds"]]
+    x_eval = jnp.asarray(_nhwc(gen_input(c["eval_seed"], shape,
+                                         c["in_scale"], c["in_loc"])))
+    v = dict(model.init(jax.random.PRNGKey(0), batches[0][:1], mode="calibrate"))
+    v.pop("taps", None)
+    v = import_torch_checkpoint("resnet18", _state_dict(c), v,
+                                fold_bn=bool(bnf), into_scale=into_scale)
+    v = _calibrate(model, reset_observers(v), batches)
+    _check_qparams(v, c, _resnet_qpath)
+    _check_logits(model.apply(v, x_eval, mode="fp32"), c, "fp32")
+    _check_logits(model.apply(v, x_eval, mode="quant"), c, "quant")
+
+
+# ---------------------------------------------------------------------------
+# 2-block pre-LN MHA stack (reference torch: seq-first; ours: batch-first)
+# ---------------------------------------------------------------------------
+
+class _PreLNBlock(nn.Module):
+    ctx: QuantCtx
+    qpath: str
+    d: int
+    h: int
+    m: int
+
+    @nn.compact
+    def __call__(self, x, mode="fp32"):
+        y = FusedLayerNorm(self.d, epsilon=1e-5, name="ln_1")(x, mode)
+        x = x + QuantMultiheadAttention(
+            self.d, self.h,
+            quant=self.ctx.resolve(f"{self.qpath}/self_attention",
+                                   "nn_multiheadattention"),
+            name="self_attention")(y, mode=mode)
+        y = FusedLayerNorm(self.d, epsilon=1e-5, name="ln_2")(x, mode)
+        y = QuantDense(self.m, quant=self.ctx.resolve(
+            f"{self.qpath}/mlp/0", "nn_linear"), name="linear1")(y, mode=mode)
+        y = nn.gelu(y, approximate=False)
+        y = QuantDense(self.d, quant=self.ctx.resolve(
+            f"{self.qpath}/mlp/2", "nn_linear"), name="linear2")(y, mode=mode)
+        return x + y
+
+
+class _MHAStack(nn.Module):
+    ctx: QuantCtx
+    d: int
+    h: int
+    m: int
+    depth: int
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x, mode="fp32"):  # (B, S, E)
+        for i in range(self.depth):
+            x = _PreLNBlock(self.ctx, f"/blocks/{i}", self.d, self.h, self.m,
+                            name=f"block{i}")(x, mode=mode)
+        x = FusedLayerNorm(self.d, epsilon=1e-5, name="ln")(x, mode)
+        x = x.mean(axis=1)
+        return QuantDense(self.num_classes, quant=self.ctx.resolve(
+            "/head", "nn_linear"), name="head")(x, mode=mode)
+
+
+def _mha_params(c, sd):
+    d = c["d"]
+
+    def dense(w, b):
+        return {"kernel": jnp.asarray(w.T), "bias": jnp.asarray(b)}
+
+    p = {}
+    for i in range(c["depth"]):
+        pre = f"blocks.{i}."
+        iw, ib = sd[pre + "self_attention.in_proj_weight"], \
+            sd[pre + "self_attention.in_proj_bias"]
+        p[f"block{i}"] = {
+            "ln_1": {"scale": jnp.asarray(sd[pre + "ln_1.weight"]),
+                     "bias": jnp.asarray(sd[pre + "ln_1.bias"])},
+            "ln_2": {"scale": jnp.asarray(sd[pre + "ln_2.weight"]),
+                     "bias": jnp.asarray(sd[pre + "ln_2.bias"])},
+            "self_attention": {
+                "q_proj": dense(iw[:d], ib[:d]),
+                "k_proj": dense(iw[d:2 * d], ib[d:2 * d]),
+                "v_proj": dense(iw[2 * d:], ib[2 * d:]),
+                "out_proj": dense(sd[pre + "self_attention.out_proj.weight"],
+                                  sd[pre + "self_attention.out_proj.bias"]),
+            },
+            "linear1": dense(sd[pre + "mlp.0.weight"], sd[pre + "mlp.0.bias"]),
+            "linear2": dense(sd[pre + "mlp.2.weight"], sd[pre + "mlp.2.bias"]),
+        }
+    p["ln"] = {"scale": jnp.asarray(sd["ln.weight"]),
+               "bias": jnp.asarray(sd["ln.bias"])}
+    p["head"] = dense(sd["head.weight"], sd["head.bias"])
+    return p
+
+
+_MHA_QMAP = {
+    "q_quantizer": "self_attention/q_proj/a_quantizer",
+    "k_quantizer": "self_attention/k_proj/a_quantizer",
+    "v_quantizer": "self_attention/v_proj/a_quantizer",
+    "q_proj_quantizer": "self_attention/q_proj/w_quantizer",
+    "k_proj_quantizer": "self_attention/k_proj/w_quantizer",
+    "v_proj_quantizer": "self_attention/v_proj/w_quantizer",
+    "out_proj_quantizer": "self_attention/out_proj/w_quantizer",
+}
+
+
+def _mha_qpath(ref_path):
+    """'blocks.0.self_attention.q_quantizer' -> the replay module's path."""
+    parts = ref_path.split(".")
+    if parts[0] == "blocks":
+        blk = f"block{parts[1]}"
+        if parts[2] == "self_attention":
+            return f"/{blk}/{_MHA_QMAP[parts[-1]]}"
+        if parts[2] == "mlp":
+            lin = {"0": "linear1", "2": "linear2"}[parts[3]]
+            return f"/{blk}/{lin}/{parts[-1]}"
+        raise KeyError(ref_path)
+    if parts[0] == "head":
+        return f"/head/{parts[-1]}"
+    raise KeyError(ref_path)
+
+
+_MHAS = [c["case"] for c in _FIXTURE["cases"] if c["kind"] == "mha_stack"]
+
+
+@pytest.mark.parametrize("case", _MHAS)
+def test_mha_stack_pipeline_matches_reference(case):
+    c = _CASES[case]
+    model = _MHAStack(QuantCtx(c["quant_cfg"]), c["d"], c["h"], c["m"],
+                      c["depth"], c["num_classes"])
+    shape = tuple(c["x_shape"])  # (S, B, E) torch seq-first
+    to_bf = lambda x: jnp.asarray(np.transpose(x, (1, 0, 2)))
+    batches = [to_bf(gen_input(s, shape)) for s in c["calib_seeds"]]
+    x_eval = to_bf(gen_input(c["eval_seed"], shape))
+    v = dict(model.init(jax.random.PRNGKey(0), batches[0], mode="calibrate"))
+    v.pop("taps", None)
+    v["params"] = _mha_params(c, _state_dict(c))
+    v = _calibrate(model, reset_observers(v), batches)
+    _check_qparams(v, c, _mha_qpath)
+    _check_logits(model.apply(v, x_eval, mode="fp32"), c, "fp32")
+    _check_logits(model.apply(v, x_eval, mode="quant"), c, "quant")
