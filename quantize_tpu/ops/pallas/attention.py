@@ -43,10 +43,44 @@ def _cdiv(a: int, b: int) -> int:
 def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
                      embed: int, scale: float, causal: bool,
                      valid_len: int):
+    """bf16-scores kernel, VPU-lean softmax.
+
+    Round-4 measurement showed this kernel is VPU-bound, not MXU-bound: the
+    12 (S, S) softmaxes are ~0.45 of its ~0.6 ms at ViT-B/16 shapes, the
+    MXU dots only ~0.15 (``docs/BENCH_NOTES.md`` round 4). The softmax is
+    therefore trimmed to its minimum per-element pass count over (S, S):
+
+    * the row-max subtraction (a reduce + a subtract, 2 passes) is replaced
+      by ONE ``min(scores, limit)`` where ``limit`` is a precomputed
+      (1, S) / (S, S) vector that is +60 on attendable keys and -1e30 on
+      pad/causal-masked keys — mask and overflow-clamp fused into one op;
+    * the 1/sum normalization moves off the (S, S) probability matrix onto
+      the (S, D) AV *output* rows — the AV dot runs on unnormalized
+      ``exp`` weights and ``sum(ex)`` feeds a per-(row, head) divide.
+
+    Numerics: exact vs the max-subtracted softmax whenever the row's max
+    score is in (-87 + ln S, 60) — always, for real activations (attention
+    logits after /sqrt(d) are O(10)). A row with ALL scores < -87
+    underflows to zeros (the ``nrm`` guard avoids NaN); scores are clamped
+    at +60 so ``sum(exp)`` stays finite in f32."""
     h, d, e = num_heads, head_dim, embed
     x = x_ref[:]                                     # (S, 3E)
     s = x.shape[0]
     mm_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
+
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        ok = cols <= rows
+        if valid_len < s:
+            ok = jnp.logical_and(ok, cols < valid_len)
+        limit = jnp.where(ok, 60.0, -1e30).astype(jnp.float32)
+    elif valid_len < s:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+        limit = jnp.where(cols < valid_len, 60.0, -1e30).astype(jnp.float32)
+    else:
+        limit = jnp.float32(60.0)
+
     outs = []
     for hh in range(h):
         qh = (x[:, hh * d:(hh + 1) * d].astype(jnp.float32) * scale)
@@ -56,26 +90,87 @@ def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
             qh.astype(mm_dtype), kh.astype(mm_dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if causal or valid_len < s:
-            rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            ok = cols < valid_len  # pad keys never attended
-            if causal:
-                ok = jnp.logical_and(ok, cols <= rows)
+        ex = jnp.exp(jnp.minimum(scores, limit))
+        norm = jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-37)
+        av = jax.lax.dot_general(                    # (S, D) unnormalized
+            ex.astype(mm_dtype), vh.astype(mm_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append(av / norm)
+    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _mha_rows_int8_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
+                          embed: int, scale: float, causal: bool,
+                          valid_len: int):
+    """int8-scores variant: QK^T and AV run as s8 MXU dots (394 vs 197
+    TOPS on v5e, half the operand VMEM traffic at K=64).
+
+    q/k/v are quantized IN-KERNEL with dynamic symmetric per-(image, head)
+    absmax scales — nothing to calibrate or plumb: the reference's 7
+    quantizers cover the projection *inputs* (``quantmultiheadattention.py:
+    140-155``), not the projection outputs this kernel consumes, so scales
+    are derived from the live block. Symmetric quantization keeps the dot
+    zero-point-free. The softmax division is folded into the AV epilogue:
+    ``out = sv * (exq @ v8 + cv*rowsum(exq)) / rowsum(exq)`` — the un-
+    normalized exp weights are quantized to [0,127] directly and the
+    normalizer is applied once per (row, head) instead of over (S, S)."""
+    h, d, e = num_heads, head_dim, embed
+    x = x_ref[:]                                     # (S, 3E)
+    s = x.shape[0]
+
+    def quant_sym(t):
+        # dynamic symmetric s8: per-block absmax scale (f32 scalar)
+        a = t.astype(jnp.float32)
+        sc = jnp.maximum(jnp.max(jnp.abs(a)), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(a / sc), -127, 127).astype(jnp.int8)
+        return q, sc
+
+    need_mask = causal or valid_len < s
+    if need_mask:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        ok = cols < valid_len
+        if causal:
+            ok = jnp.logical_and(ok, cols <= rows)
+
+    outs = []
+    for hh in range(h):
+        q8, sq = quant_sym(x[:, hh * d:(hh + 1) * d])
+        k8, sk = quant_sym(x[:, e + hh * d:e + (hh + 1) * d])
+        v8, sv = quant_sym(x[:, 2 * e + hh * d:2 * e + (hh + 1) * d])
+        scores = jax.lax.dot_general(                # (S, S) s32
+            q8, k8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (sq * sk * scale)
+        if need_mask:
             scores = jnp.where(ok, scores, -1e30)
         m = jnp.max(scores, axis=-1, keepdims=True)
-        ex = jnp.exp(scores - m)
-        p = ex / jnp.sum(ex, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(             # (S, D)
-            p.astype(mm_dtype), vh.astype(mm_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+        ex = jnp.exp(scores - m)                     # (S, S) in (0, 1]
+        ex8 = jnp.round(ex * 127.0).astype(jnp.int8)  # [0, 127]
+        norm = jnp.sum(ex8.astype(jnp.float32), axis=-1, keepdims=True)
+        av = jax.lax.dot_general(                    # (S, D) s32
+            ex8, v8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        outs.append(av * (sv / jnp.maximum(norm, 1.0)))
     o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _int8_scores_default() -> bool:
+    """Kernel-variant default for the packed path. MEASURED default: OFF —
+    the kernel is VPU-softmax-bound, and the int8 variant's in-kernel
+    dynamic quantization adds VPU passes worth more than its MXU saving
+    (0.85 vs 0.58 ms at ViT-B/16 shapes, docs/BENCH_NOTES.md round 4).
+    ``QTPU_ATTN_INT8=1`` selects it for A/B."""
+    import os
+
+    return os.environ.get("QTPU_ATTN_INT8", "0") == "1"
 
 
 def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
                        causal: bool = False, out_dtype=None,
-                       valid_len: int = 0) -> jnp.ndarray:
+                       valid_len: int = 0,
+                       int8_scores=None) -> jnp.ndarray:
     """Multi-head self-attention over fused qkv rows.
 
     Args:
@@ -88,6 +183,8 @@ def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
         seq_len: S (static, padded); B = rows // S.
         causal: apply a causal mask (CLIP text tower).
         valid_len: number of real rows per batch (0 = all of seq_len).
+        int8_scores: run QK^T/AV as dynamically-quantized s8 MXU dots
+            (None = env default, see ``_int8_scores_default``).
     Returns:
         (B*S, E) attention output (pre out-projection), same row layout.
     """
@@ -99,6 +196,8 @@ def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
     valid = int(valid_len) or s
     assert e * 3 == three_e and d * num_heads == e and b * s == rows
     out_dtype = out_dtype or qkv.dtype
+    if int8_scores is None:
+        int8_scores = _int8_scores_default()
     itemsize = jnp.dtype(qkv.dtype).itemsize
     # VMEM budget: input block + f32 head slices + (S, S) f32 scores +
     # f32 out concat. ~12 MB of the ~16 MB/core VMEM, else jnp fallback.
@@ -109,8 +208,9 @@ def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
     if d % 8 != 0 or s % 8 != 0 or vmem_est > 12 * 1024 * 1024:
         return _mha_ref_rows(qkv, num_heads, s, causal, out_dtype, valid)
 
+    kern = _mha_rows_int8_kernel if int8_scores else _mha_rows_kernel
     out = pl.pallas_call(
-        functools.partial(_mha_rows_kernel, num_heads=num_heads, head_dim=d,
+        functools.partial(kern, num_heads=num_heads, head_dim=d,
                           embed=e, scale=1.0 / (d ** 0.5), causal=causal,
                           valid_len=valid),
         grid=(b,),
