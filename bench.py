@@ -93,8 +93,41 @@ def _time(step, v, iters: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _main_mesh(mesh_spec: str) -> None:
+    """BENCH_MESH=dpxtp: the 1->N scaling harness (real devices or the
+    virtual CPU mesh) — per-device step time, img/s/chip, weak-scaling
+    efficiency, and GSPMD collective traffic. One JSON line, same contract
+    as the single-chip path."""
+    import json as _json
+
+    from quantize_tpu.parallel import measure_scaling
+
+    dp, tp = (int(v) for v in mesh_spec.lower().split("x"))
+    r = measure_scaling(
+        model_name=os.environ.get("BENCH_MODEL", "resnet50"),
+        w_bits=int(os.environ.get("BENCH_WBITS", 8)),
+        per_device_batch=int(os.environ.get("BENCH_BATCH", 8)),
+        dp=dp, tp=tp,
+        image_size=int(os.environ.get("BENCH_SIZE", 64)),
+        iters=int(os.environ.get("BENCH_ITERS", 5)),
+    )
+    print(_json.dumps({
+        "metric": f"{r['model']}_w{r['w_bits']}a8_scaling_{dp}x{tp}",
+        "value": round(r["img_per_s_per_chip_ndev"], 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(r["weak_scaling_efficiency"], 3),
+        "baseline": "1-device weak-scaling ideal",
+        "detail": r,
+    }))
+
+
 def main() -> None:
     import jax
+
+    mesh_spec = os.environ.get("BENCH_MESH")
+    if mesh_spec:
+        _main_mesh(mesh_spec)
+        return
 
     batch = int(os.environ.get("BENCH_BATCH", 256))
     size = int(os.environ.get("BENCH_SIZE", 224))

@@ -1,0 +1,53 @@
+"""Scaling-harness tests on the virtual CPU mesh.
+
+The harness (``parallel/scaling.py``) is the exact code a pod run will use
+(``bench.py`` ``BENCH_MESH=dpxtp`` and ``dryrun_multichip`` both route
+through it); these tests pin its contract — mesh construction, sharded
+packed execution, weak-scaling arithmetic, and the collective census parsed
+from compiled HLO — so a real multi-chip measurement needs zero new code.
+"""
+import jax
+import numpy as np
+import pytest
+
+from quantize_tpu.parallel import collective_stats, measure_scaling
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 (virtual) devices")
+
+
+@needs_devices
+def test_measure_scaling_dp_tp():
+    r = measure_scaling(model_name="resnet18", w_bits=8, per_device_batch=2,
+                        dp=2, tp=2, image_size=32, num_classes=16, iters=2)
+    assert r["n_devices"] == 4 and r["mesh"] == {"data": 2, "model": 2}
+    assert r["global_batch"] == 4
+    assert r["t1_ms"] > 0 and r["tn_ms"] > 0
+    assert np.isfinite(r["weak_scaling_efficiency"])
+    assert r["img_per_s_per_chip_ndev"] > 0
+    # tensor parallelism over 'model' must insert at least one collective
+    assert sum(r["collective_counts"].values()) > 0
+    assert r["collective_bytes_per_step"] > 0
+    assert r["est_ici_ms"] >= 0
+
+
+@needs_devices
+def test_measure_scaling_pure_dp_has_no_collectives():
+    """Pure data-parallel inference is embarrassingly parallel — the
+    forward graph must compile with NO cross-device collectives."""
+    r = measure_scaling(model_name="resnet18", w_bits=8, per_device_batch=2,
+                        dp=4, tp=1, image_size=32, num_classes=16, iters=2)
+    assert sum(r["collective_counts"].values()) == 0
+    assert r["collective_bytes_per_step"] == 0
+
+
+def test_collective_stats_parses_hlo():
+    hlo = """
+  %ar = f32[8,16]{1,0} all-reduce(f32[8,16]{1,0} %p0), replica_groups={}
+  %ag = bf16[4,32]{1,0} all-gather(bf16[4,8]{1,0} %p1), dimensions={1}
+  %rs = s8[128]{0} reduce-scatter(s8[1024]{0} %p2), dimensions={0}
+    """
+    s = collective_stats(hlo)
+    assert s["collective_counts"] == {"all-reduce": 1, "all-gather": 1,
+                                      "reduce-scatter": 1}
+    assert s["collective_bytes_per_step"] == 8 * 16 * 4 + 4 * 32 * 2 + 128
