@@ -2,13 +2,17 @@
 
 Covers the reference's ImageNet family (``dataset/imagenet/imagenet.py:47-84``
 and the variant files): a class-per-directory image tree, loaded lazily with
-PIL. The pickle index cache of the reference becomes an in-memory index; the
-few-shot split is handled by :meth:`ArrayDataset.few_shot`-equivalent logic
-at the index level (images decode on demand).
+PIL. Like the reference, the folder index and each (seed, shots) few-shot
+split are pickle-cached — a second run over a 1.28M-image tree does zero
+directory walking. Cache dir: ``QTPU_CACHE_DIR`` (default
+``~/.cache/quantize_tpu``); entries invalidate on tree mtime change;
+``QTPU_INDEX_CACHE=0`` disables.
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import pickle
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence
 
@@ -20,6 +24,56 @@ from .base import DATASETS
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 _DECODE_POOL: Optional[ThreadPoolExecutor] = None
+_DECODE_POOL_WORKERS = 0
+
+
+def _cache_path(kind: str, key: str) -> Optional[str]:
+    if os.environ.get("QTPU_INDEX_CACHE", "1") == "0":
+        return None
+    d = os.environ.get("QTPU_CACHE_DIR") or os.path.expanduser(
+        "~/.cache/quantize_tpu")
+    os.makedirs(d, exist_ok=True)
+    h = hashlib.sha1(key.encode()).hexdigest()[:16]
+    return os.path.join(d, f"{kind}_{h}.pkl")
+
+
+def _tree_mtime(root: str, classes: Sequence[str]) -> float:
+    """Newest mtime over the root and its class dirs (one stat per class —
+    cheap vs listing 1.28M files; adding/removing an image touches its
+    class dir's mtime)."""
+    mt = os.path.getmtime(root)
+    for c in classes:
+        try:
+            mt = max(mt, os.path.getmtime(os.path.join(root, c)))
+        except OSError:
+            pass
+    return mt
+
+
+def _cache_load(path: Optional[str], mtime: float):
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if obj.get("mtime") == mtime:
+            return obj["data"]
+    except Exception:
+        pass
+    return None
+
+
+def _cache_store(path: Optional[str], mtime: float, data) -> None:
+    if path is None:
+        return
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            pickle.dump({"mtime": mtime, "data": data}, f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def _decode_pool() -> Optional[ThreadPoolExecutor]:
@@ -28,11 +82,13 @@ def _decode_pool() -> Optional[ThreadPoolExecutor]:
     ``dataset/loader.py:14-37``). QTPU_DECODE_WORKERS=0 disables."""
     global _DECODE_POOL
     workers = int(os.environ.get("QTPU_DECODE_WORKERS", min(32, os.cpu_count() or 8)))
+    global _DECODE_POOL_WORKERS
     if workers <= 1:
         return None
-    if _DECODE_POOL is None or _DECODE_POOL._max_workers != workers:
+    if _DECODE_POOL is None or _DECODE_POOL_WORKERS != workers:
         _DECODE_POOL = ThreadPoolExecutor(max_workers=workers,
                                           thread_name_prefix="qtpu-decode")
+        _DECODE_POOL_WORKERS = workers
     return _DECODE_POOL
 
 
@@ -49,15 +105,26 @@ class FolderDataset:
         classes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
         )
+        self._tree_mtime = _tree_mtime(root, classes)
+        cpath = _cache_path("index", os.path.abspath(root))
+        cached = _cache_load(cpath, self._tree_mtime)
+        if cached is not None:
+            classes, rel_paths, labels = cached
+            self.paths = [os.path.join(root, p) for p in rel_paths]
+            self.labels_list = list(labels)
+        else:
+            self.paths = []
+            self.labels_list = []
+            for ci, cls in enumerate(classes):
+                cdir = os.path.join(root, cls)
+                for fname in sorted(os.listdir(cdir)):
+                    if fname.lower().endswith(_IMG_EXTS):
+                        self.paths.append(os.path.join(cdir, fname))
+                        self.labels_list.append(ci)
+            rel = [os.path.relpath(p, root) for p in self.paths]
+            _cache_store(cpath, self._tree_mtime,
+                         (classes, rel, self.labels_list))
         self.classnames = list(classnames) if classnames else classes
-        self.paths: List[str] = []
-        self.labels_list: List[int] = []
-        for ci, cls in enumerate(classes):
-            cdir = os.path.join(root, cls)
-            for fname in sorted(os.listdir(cdir)):
-                if fname.lower().endswith(_IMG_EXTS):
-                    self.paths.append(os.path.join(cdir, fname))
-                    self.labels_list.append(ci)
         self.labels = np.asarray(self.labels_list, np.int32)
 
     @property
@@ -104,12 +171,22 @@ class FolderDataset:
     def few_shot(self, num_shots: int, seed: int = 0) -> "FolderDataset":
         if not num_shots or num_shots <= 0:
             return self
-        rng = np.random.default_rng(seed)
-        keep: List[int] = []
-        for c in np.unique(self.labels):
-            idx = np.flatnonzero(self.labels == c)
-            keep.extend(rng.choice(idx, size=min(num_shots, len(idx)), replace=False).tolist())
-        keep_sorted = sorted(keep)
+        # len+classes in the key: a select_subclass() view must not collide
+        # with the full dataset's split for the same (seed, shots)
+        cpath = _cache_path(
+            "fewshot",
+            f"{os.path.abspath(self.root)}|n={len(self)}"
+            f"|c={self.num_classes}|seed={seed}|shots={num_shots}")
+        keep_sorted = _cache_load(cpath, getattr(self, "_tree_mtime", 0.0))
+        if keep_sorted is None:
+            rng = np.random.default_rng(seed)
+            keep: List[int] = []
+            for c in np.unique(self.labels):
+                idx = np.flatnonzero(self.labels == c)
+                keep.extend(rng.choice(idx, size=min(num_shots, len(idx)),
+                                       replace=False).tolist())
+            keep_sorted = sorted(keep)
+            _cache_store(cpath, getattr(self, "_tree_mtime", 0.0), keep_sorted)
         out = object.__new__(FolderDataset)
         out.root, out.transform, out.classnames = self.root, self.transform, self.classnames
         out.paths = [self.paths[i] for i in keep_sorted]

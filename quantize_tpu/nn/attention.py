@@ -177,8 +177,20 @@ class QuantMultiheadAttention(nn.Module):
             scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(head_dim).astype(x.dtype)
             if causal:
                 mask = jnp.triu(jnp.full((s, s), -jnp.inf, scores.dtype), k=1)
+            elif mask is not None and rows_2d:
+                # padded-rows caller with an array mask: it must already be
+                # built for the PADDED length (a valid-length mask here would
+                # silently misalign with the padded key axis)
+                assert mask.shape[-1] == s, (
+                    f"attention mask last dim {mask.shape[-1]} != padded "
+                    f"seq_len {s}; build masks for the padded length")
             if mask is not None:
                 scores = scores + mask
+            if rows_2d and 0 < valid_len < s:
+                # pad keys are never attended, matching the Pallas kernel
+                keymask = (jnp.arange(s) < valid_len).reshape(1, 1, 1, s)
+                scores = jnp.where(keymask, scores,
+                                   jnp.asarray(-1e30, scores.dtype))
             attn = nn.softmax(scores, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
             out = out.transpose(0, 2, 1, 3)

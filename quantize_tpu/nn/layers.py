@@ -481,8 +481,9 @@ class QuantConv(_QuantLayerBase):
             # zero==0 exactly only for symmetric *signed* grids (unsigned
             # symmetric packs with a +2^(b-1) shift folded into w_zero)
             wz0 = bool(w_spec.symmetric and w_spec.qmin < 0)
-            pad_zero = (self.padding in ("VALID", "SAME")  # identical for 1x1/s1
-                        or tuple(map(tuple, self.padding)) == ((0, 0), (0, 0)))
+            pad_zero = (self.padding.upper() in ("VALID", "SAME")
+                        if isinstance(self.padding, str)  # identical for 1x1/s1
+                        else tuple(map(tuple, self.padding)) == ((0, 0), (0, 0)))
             if (residual is not None and wz0 and pad_zero
                     and tuple(self.kernel_size) == (1, 1)
                     and tuple(self.strides) == (1, 1)

@@ -260,14 +260,16 @@ class AdaRound(PTQ):
 
         # sequential dataflow: recompute layer L's inputs through the
         # already-reconstructed quantized prefix (reference
-        # runner/adaround.py:138-143). Returns the full quant-mode tap tree;
-        # only the requested layer's input leaf is fetched to host.
-        def _cap_quant(variables, img):
+        # runner/adaround.py:138-143). The jit returns ONLY the requested
+        # layer's input leaf (path is static), so XLA prunes every other
+        # tap output — device memory stays one layer's input at a time,
+        # matching the module docstring's claim for this mode too.
+        def _cap_quant(variables, img, path):
             _, upd = model.apply(variables, img, mode="tap_io_quant",
                                  mutable=["taps"])
-            return upd["taps"]
+            return _tree_get(upd["taps"], path)["in"][0]
 
-        cap_quant = jax.jit(_cap_quant)
+        cap_quant = jax.jit(_cap_quant, static_argnums=2)
 
         # phase 2: per-layer V optimization against the cached pairs —
         # device memory is one layer at a time, constant in depth
@@ -279,9 +281,8 @@ class AdaRound(PTQ):
             x_ins = None
             if sequential:
                 x_ins = [
-                    np.asarray(jax.device_get(_tree_get(
-                        cap_quant(self.variables, jnp.asarray(im)),
-                        path)["in"][0]))
+                    np.asarray(jax.device_get(
+                        cap_quant(self.variables, jnp.asarray(im), path)))
                     for im in imgs
                 ]
             tx = build_optimizer(self.cfg, steps_per_epoch=max(len(caches), 1))

@@ -155,3 +155,53 @@ def test_dataloader_decode_throughput(tmp_path):
         else:
             os.environ["QTPU_DECODE_WORKERS"] = old
     assert t_pool < t_serial * 0.9, (t_serial, t_pool)
+
+
+def test_folder_index_and_fewshot_cache(tmp_path, monkeypatch):
+    """Reference parity (imagenet.py:47-84): the folder index and per-(seed,
+    shots) few-shot split are pickle-cached — a second construction does
+    ZERO directory walking — and invalidate on tree mtime change."""
+    import os
+    import numpy as np
+    from PIL import Image
+
+    import quantize_tpu.data.imagenet as inet
+
+    monkeypatch.setenv("QTPU_CACHE_DIR", str(tmp_path / "cache"))
+    root = tmp_path / "train"
+    for ci in range(3):
+        d = root / f"class{ci}"
+        d.mkdir(parents=True)
+        for j in range(4):
+            Image.fromarray(
+                np.full((8, 8, 3), ci * 40 + j, np.uint8)).save(d / f"{j}.png")
+
+    ds1 = inet.FolderDataset(str(root))
+    fs1 = ds1.few_shot(2, seed=7)
+    assert len(ds1) == 12 and len(fs1) == 6
+
+    # second run: index + split served from cache, no listdir of class dirs
+    real_listdir = os.listdir
+    walked = []
+
+    def spy(p):
+        walked.append(p)
+        return real_listdir(p)
+
+    monkeypatch.setattr(inet.os, "listdir", spy)
+    ds2 = inet.FolderDataset(str(root))
+    fs2 = ds2.few_shot(2, seed=7)
+    assert [p for p in walked if "class" in os.path.basename(p)] == []
+    assert ds2.paths == ds1.paths and ds2.labels_list == ds1.labels_list
+    assert fs2.paths == fs1.paths
+
+    # different seed -> different cache entry, same determinism
+    assert ds2.few_shot(2, seed=8).paths == ds1.few_shot(2, seed=8).paths
+
+    # tree change invalidates: new image appears in the re-walked index
+    monkeypatch.setattr(inet.os, "listdir", real_listdir)
+    Image.fromarray(np.full((8, 8, 3), 9, np.uint8)).save(
+        root / "class0" / "zz.png")
+    os.utime(root / "class0")
+    ds3 = inet.FolderDataset(str(root))
+    assert len(ds3) == 13
