@@ -36,6 +36,7 @@ makes large-loader configs safe.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -211,6 +212,43 @@ class AdaRound(PTQ):
 
         return step
 
+    def _blockwise_layer_scan(self, clone, tx):
+        """Whole-layer optimization as ONE dispatch: ``lax.scan`` over all
+        (epoch x batch) steps with the cached pairs resident on device.
+
+        The per-step python loop pays the host dispatch overhead (~25-30 ms
+        on the remote-execution runtime) per (layer, batch, epoch) — it
+        dominated the measured MobileNetV2 W4 blockwise wall time (docs/
+        BENCH_NOTES.md round 4). Used whenever a layer's stacked cache fits
+        the ``QTPU_ADAROUND_SCAN_MB`` budget (default 2048)."""
+        @jax.jit
+        def run_scan(lv, opt_state, xs, ys, betas):
+            k = xs.shape[0]
+
+            def body(carry, inp):
+                ada, opt = carry
+                i, beta = inp
+
+                def loss_fn(a):
+                    out = clone.apply({**lv, "adaround": a}, xs[i],
+                                      mode="quant")
+                    recon = jnp.mean((out - ys[i]) ** 2)
+                    reg = sum(regularization(v, beta)
+                              for v in jax.tree.leaves(a))
+                    return recon + reg
+
+                loss, grads = jax.value_and_grad(loss_fn)(ada)
+                updates, opt = tx.update(grads, opt, ada)
+                return (optax.apply_updates(ada, updates), opt), loss
+
+            n = betas.shape[0]
+            (ada, opt_state), losses = jax.lax.scan(
+                body, (lv["adaround"], opt_state),
+                (jnp.arange(n) % k, betas))
+            return ada, opt_state, losses[-1]
+
+        return run_scan
+
     def run(self) -> None:
         if self._reconstruction() == "joint":
             return super().run()
@@ -289,20 +327,30 @@ class AdaRound(PTQ):
             lv = self._layer_vars(path)
             ada = lv["adaround"]
             opt_state = tx.init(ada)
-            step = self._blockwise_layer_step(clone, tx)
-            it = 0
-            loss = jnp.float32(0.0)
-            for epoch in range(self.max_epoch):
-                for bi, cache in enumerate(caches):
-                    t = _tree_get(cache, path)
-                    x_in = x_ins[bi] if x_ins is not None else t["in"][0]
-                    y_fp = t["out"][0]
-                    beta = self._beta(it, steps_total)
+            betas = np.asarray([self._beta(i, steps_total)
+                                for i in range(steps_total)], np.float32)
+            xs = np.stack([x_ins[bi] if x_ins is not None
+                           else np.asarray(_tree_get(cache, path)["in"][0])
+                           for bi, cache in enumerate(caches)])
+            ys = np.stack([np.asarray(_tree_get(cache, path)["out"][0])
+                           for cache in caches])
+            scan_cap = float(os.environ.get("QTPU_ADAROUND_SCAN_MB", 2048))
+            if (xs.nbytes + ys.nbytes) <= scan_cap * 1e6:
+                run_scan = self._blockwise_layer_scan(clone, tx)
+                ada, opt_state, loss = run_scan(
+                    lv, opt_state, jnp.asarray(xs), jnp.asarray(ys),
+                    jnp.asarray(betas))
+            else:
+                # layer cache too big to stack on device: per-step dispatch
+                step = self._blockwise_layer_step(clone, tx)
+                loss = jnp.float32(0.0)
+                for it in range(steps_total):
+                    bi = it % len(caches)
                     ada, opt_state, loss = step(
-                        lv, opt_state, jnp.asarray(x_in), jnp.asarray(y_fp),
-                        jnp.asarray(beta, jnp.float32))
+                        lv, opt_state, jnp.asarray(xs[bi]),
+                        jnp.asarray(ys[bi]),
+                        jnp.asarray(betas[it], jnp.float32))
                     lv = {**lv, "adaround": ada}
-                    it += 1
             # ada is the layer-local adaround subtree; install it wholesale
             self.variables = {
                 **self.variables,
