@@ -38,7 +38,9 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 128))
     size = 224
     iters = int(os.environ.get("BENCH_ITERS", 5))
-    k = int(os.environ.get("BENCH_K", 8))
+    # 32 chained batches per dispatch, matching bench.py: at K=8 the ~30 ms
+    # tunnel overhead added ~3.7 ms/step and understated throughput by ~10%
+    k = int(os.environ.get("BENCH_K", 32))
     backbone = os.environ.get("BENCH_BACKBONE", "clip_vit-b16")
     num_classes = 1000
 
