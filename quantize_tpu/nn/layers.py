@@ -452,18 +452,23 @@ class QuantConv(_QuantLayerBase):
         depthwise = (self.feature_group_count > 1
                      and self.feature_group_count == in_ch)
         if depthwise and not self.return_qinput and residual is None:
-            xq = self._packed_act(x, a_spec) if a_spec.enabled else x
-            w_deq = (w_int.astype(jnp.float32) + w_zero) * w_scale
             cdt = packed_carry_dtype()
+            # cast in the PRODUCER: the fake-quant chain's output is what
+            # materializes at the fusion boundary before this conv — bf16
+            # there halves the block's dominant HBM traffic (r4 HLO showed
+            # f32[N,H,W,C] carries between every expand epilogue and dw conv)
+            xq = (self._packed_act(x, a_spec).astype(cdt)
+                  if a_spec.enabled else x.astype(cdt))
+            w_deq = (w_int.astype(jnp.float32) + w_zero) * w_scale
             out = jax.lax.conv_general_dilated(
-                xq.astype(cdt), w_deq.astype(cdt),
+                xq, w_deq.astype(cdt),
                 window_strides=tuple(self.strides), padding=self.padding,
                 rhs_dilation=tuple(self.kernel_dilation),
                 feature_group_count=self.feature_group_count,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32,
             ) + bias
-            return out
+            return out.astype(cdt)
 
         fusable = a_spec.enabled and not a_spec.per_channel
         if fusable:
@@ -518,7 +523,7 @@ class QuantConv(_QuantLayerBase):
                 w_int, w_scale, w_zero, bias,
                 w_zero_is_zero=wz0,
                 corr_a=corr_a,
-                pre_q=pre_q, **conv_kw,
+                pre_q=pre_q, out_dtype=packed_carry_dtype(), **conv_kw,
             )
             if self.return_qinput:
                 from .qtensor import QTensor

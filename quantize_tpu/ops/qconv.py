@@ -71,12 +71,17 @@ def quant_conv2d(
     w_zero_is_zero: bool = False,
     corr_a: Optional[jnp.ndarray] = None,
     pre_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Fused W8A8 conv2d (per-out-channel weight scales, per-tensor act).
 
     ``pre_q``: optionally the already-quantized input ``(q_int8, z_eff)`` —
     used by the int8-carry path where the caller shares the quantized
     activation with other consumers (``x`` is then only read for its shape).
+    ``out_dtype``: cast the dequantized output (epilogue stays f32). The
+    packed path passes the carry dtype so the tensor that MATERIALIZES at
+    the fusion boundary is bf16, not f32 — on HBM-bound nets (MobileNetV2)
+    f32 inter-op carries double the dominant traffic (BENCH_NOTES r4).
     """
     n, h, w_sp, _ = x.shape
     if pre_q is not None:
@@ -116,7 +121,7 @@ def quant_conv2d(
     out = jnp.asarray(a_scale, jnp.float32) * w_scale.reshape(1, 1, 1, -1) * corrected
     if bias is not None:
         out = out + bias
-    return out
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def quant_conv2d_wo(
