@@ -95,6 +95,12 @@ class BasicRunner:
             into_scale = bool(dict(bnf).get("into_scale"))
         self.logger.info(f"importing torch checkpoint {path} "
                          f"(fold_bn={fold}, into_scale={into_scale})")
+        expected = getattr(self.cfg.model, "torch_checkpoint_sha256", None)
+        if expected:
+            from ..models.manifest import verify_checkpoint
+
+            verify_checkpoint(str(path), str(expected),
+                              model_name=str(self.cfg.model.name))
         sd = load_torch_state_dict(path)
         self.variables = import_torch_checkpoint(
             str(self.cfg.model.name), sd, self.variables,

@@ -153,3 +153,25 @@ def test_torch_checkpoint_auto_import(tmp_path):
     np.testing.assert_allclose(
         np.asarray(v2["params"]["fc"]["kernel"]),
         np.asarray(ref["params"]["fc"]["kernel"]))
+
+
+def test_checkpoint_sha256_manifest(tmp_path):
+    """Reference parity for weight integrity (clip.py:30-72): a pinned
+    digest hard-fails on mismatch; 'auto' consults the published-CLIP
+    manifest and is a no-op for models without a vendored digest."""
+    import pytest
+
+    from quantize_tpu.models.manifest import (CLIP_SHA256, sha256_of,
+                                              verify_checkpoint)
+
+    p = tmp_path / "ckpt.pth"
+    p.write_bytes(b"not really a checkpoint")
+    digest = sha256_of(str(p))
+    verify_checkpoint(str(p), digest)  # exact pin, matches
+    verify_checkpoint(str(p), "auto", model_name="resnet18")  # no entry -> ok
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        verify_checkpoint(str(p), "0" * 64)
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        verify_checkpoint(str(p), "auto", model_name="clip_vit-b16")
+    assert len(CLIP_SHA256) == 9
+    assert all(len(v) == 64 for v in CLIP_SHA256.values())
