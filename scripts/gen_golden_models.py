@@ -161,6 +161,46 @@ class ResNet18(nn.Module):
         return self.fc(torch.flatten(x, 1))
 
 
+class InvertedResidual(nn.Module):
+    """MobileNetV2-style block: expand 1x1 -> depthwise 3x3 -> project 1x1,
+    BN after every conv (folded by reconstruct), residual when shapes allow.
+    Exercises grouped/depthwise QuantConv2d folding + residual composition —
+    the mobilenet-family shapes the resnet fixture does not cover."""
+
+    def __init__(self, cin, cexp, cout, stride=1):
+        super().__init__()
+        self.expand_conv = nn.Conv2d(cin, cexp, 1, bias=False)
+        self.expand_bn = nn.BatchNorm2d(cexp)
+        self.dw_conv = nn.Conv2d(cexp, cexp, 3, stride, 1, groups=cexp,
+                                 bias=False)
+        self.dw_bn = nn.BatchNorm2d(cexp)
+        self.project_conv = nn.Conv2d(cexp, cout, 1, bias=False)
+        self.project_bn = nn.BatchNorm2d(cout)
+        self.use_res = stride == 1 and cin == cout
+
+    def forward(self, x):
+        y = torch.nn.functional.relu6(self.expand_bn(self.expand_conv(x)))
+        y = torch.nn.functional.relu6(self.dw_bn(self.dw_conv(y)))
+        y = self.project_bn(self.project_conv(y))
+        return x + y if self.use_res else y
+
+
+class MobileStack(nn.Module):
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.stem_conv = nn.Conv2d(3, 8, 3, 2, 1, bias=False)
+        self.stem_bn = nn.BatchNorm2d(8)
+        self.block1 = InvertedResidual(8, 32, 8, 1)
+        self.block2 = InvertedResidual(8, 32, 16, 2)
+        self.fc = nn.Linear(16, num_classes)
+
+    def forward(self, x):
+        x = torch.nn.functional.relu6(self.stem_bn(self.stem_conv(x)))
+        x = self.block2(self.block1(x))
+        x = x.mean(dim=(2, 3))
+        return self.fc(x)
+
+
 class PreLNBlock(nn.Module):
     def __init__(self, d, h, m):
         super().__init__()
@@ -308,6 +348,22 @@ resnet_case("resnet18_w8a8_intoscale",
 resnet_case("resnet18_w4mse_a8",
             {"weight": dict(W4_MSE), "activation": dict(A8),
              "bn_folding": True})
+def mobile_case(name, quant_default, num_classes=10):
+    cfg = {"default": dict(quant_default)}
+    model = MobileStack(num_classes)
+    x_shape = (2, 3, 32, 32)
+    calib_seeds, eval_seed = [7201, 7202], 7210
+    names, fp32, quant, qp = run_pipeline(model, cfg, x_shape, calib_seeds,
+                                          eval_seed, in_scale=0.7, in_loc=0.1)
+    add({"case": name, "kind": "mobile_stack", "quant_cfg": cfg,
+         "num_classes": num_classes, "x_shape": list(x_shape),
+         "in_scale": 0.7, "in_loc": 0.1,
+         "calib_seeds": calib_seeds, "eval_seed": eval_seed},
+        names, fp32, quant, qp)
+
+
+mobile_case("mobile_stack_w8a8",
+            {"weight": dict(W8), "activation": dict(A8), "bn_folding": True})
 mha_case("mha_stack_w8a8", {"weight": dict(W8), "activation": dict(A8),
                             "bn_folding": False})
 mha_case("mha_stack_w4a8", {"weight": dict(W8, n_bits=4),

@@ -25,7 +25,7 @@ import flax.linen as nn
 from quantize_tpu.models import MODELS
 from quantize_tpu.nn.attention import QuantMultiheadAttention
 from quantize_tpu.nn.intercept import QuantCtx
-from quantize_tpu.nn.layers import QuantDense
+from quantize_tpu.nn.layers import QuantConv, QuantDense
 from quantize_tpu.nn.norm import FusedLayerNorm
 from quantize_tpu.nn.quantizer import reset_observers
 
@@ -169,6 +169,102 @@ def test_resnet18_pipeline_matches_reference(case):
                                 fold_bn=bool(bnf), into_scale=into_scale)
     v = _calibrate(model, reset_observers(v), batches)
     _check_qparams(v, c, _resnet_qpath)
+    _check_logits(model.apply(v, x_eval, mode="fp32"), c, "fp32")
+    _check_logits(model.apply(v, x_eval, mode="quant"), c, "quant")
+
+
+# ---------------------------------------------------------------------------
+# MobileNet-style stack: depthwise/grouped conv folding + residual
+# ---------------------------------------------------------------------------
+
+_MOBILE_BLOCKS = (("block1", 8, 32, 8, 1), ("block2", 8, 32, 16, 2))
+
+
+class _MobileStack(nn.Module):
+    ctx: QuantCtx
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x, mode="fp32"):
+        relu6 = lambda v: jnp.clip(v, 0.0, 6.0)
+
+        def conv(name, qpath, feats, k, s, pad, groups=1):
+            return QuantConv(
+                feats, (k, k), strides=(s, s), padding=pad,
+                feature_group_count=groups,
+                quant=self.ctx.resolve(qpath, "nn_conv2d"), name=name)
+
+        x = relu6(conv("stem_conv", "/stem_conv", 8, 3, 2,
+                       ((1, 1), (1, 1)))(x, mode=mode))
+        for bname, cin, cexp, cout, s in _MOBILE_BLOCKS:
+            y = relu6(conv(f"{bname}_expand_conv", f"/{bname}/expand_conv",
+                           cexp, 1, 1, "VALID")(x, mode=mode))
+            y = relu6(conv(f"{bname}_dw_conv", f"/{bname}/dw_conv",
+                           cexp, 3, s, ((1, 1), (1, 1)),
+                           groups=cexp)(y, mode=mode))
+            y = conv(f"{bname}_project_conv", f"/{bname}/project_conv",
+                     cout, 1, 1, "VALID")(y, mode=mode)
+            x = x + y if (s == 1 and cin == cout) else y
+        x = x.mean(axis=(1, 2))
+        return QuantDense(self.num_classes, quant=self.ctx.resolve(
+            "/fc", "nn_linear"), name="fc")(x, mode=mode)
+
+
+def _fold_bn(w_oihw, gamma, beta, mean, var, eps=1e-5):
+    """Standard BN fold (what the reference's conv2d_bn2d feeds into
+    QuantConv2d, quantconv2d.py:115-133)."""
+    mult = gamma / np.sqrt(var + eps)
+    w = w_oihw * mult.reshape(-1, 1, 1, 1)
+    b = beta - mean * mult
+    return w, b
+
+
+def _mobile_params(sd):
+    p = {}
+
+    def conv_entry(our, torch_conv, torch_bn):
+        w, b = _fold_bn(sd[f"{torch_conv}.weight"],
+                        sd[f"{torch_bn}.weight"], sd[f"{torch_bn}.bias"],
+                        sd[f"{torch_bn}.running_mean"],
+                        sd[f"{torch_bn}.running_var"])
+        p[our] = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                  "bias": jnp.asarray(b)}
+
+    conv_entry("stem_conv", "stem_conv", "stem_bn")
+    for bname, *_ in _MOBILE_BLOCKS:
+        for part in ("expand", "dw", "project"):
+            conv_entry(f"{bname}_{part}_conv", f"{bname}.{part}_conv",
+                       f"{bname}.{part}_bn")
+    p["fc"] = {"kernel": jnp.asarray(sd["fc.weight"].T),
+               "bias": jnp.asarray(sd["fc.bias"])}
+    return p
+
+
+def _mobile_qpath(ref_path):
+    parts = ref_path.split(".")
+    if parts[0] == "stem_conv" or parts[0] == "fc":
+        return "/" + "/".join(parts)
+    return f"/{parts[0]}_{parts[1]}/{parts[2]}"
+
+
+_MOBILES = [c["case"] for c in _FIXTURE["cases"] if c["kind"] == "mobile_stack"]
+
+
+@pytest.mark.parametrize("case", _MOBILES)
+def test_mobile_stack_pipeline_matches_reference(case):
+    c = _CASES[case]
+    model = _MobileStack(QuantCtx(c["quant_cfg"]), c["num_classes"])
+    shape = tuple(c["x_shape"])
+    batches = [jnp.asarray(_nhwc(gen_input(s, shape, c["in_scale"],
+                                           c["in_loc"])))
+               for s in c["calib_seeds"]]
+    x_eval = jnp.asarray(_nhwc(gen_input(c["eval_seed"], shape,
+                                         c["in_scale"], c["in_loc"])))
+    v = dict(model.init(jax.random.PRNGKey(0), batches[0], mode="calibrate"))
+    v.pop("taps", None)
+    v["params"] = _mobile_params(_state_dict(c))
+    v = _calibrate(model, reset_observers(v), batches)
+    _check_qparams(v, c, _mobile_qpath)
     _check_logits(model.apply(v, x_eval, mode="fp32"), c, "fp32")
     _check_logits(model.apply(v, x_eval, mode="quant"), c, "quant")
 
