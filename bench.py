@@ -273,11 +273,17 @@ def main() -> None:
             capture_output=True, text=True).stdout.strip() or None
     except Exception:
         commit = None
-    out_rec = dict(record, commit=commit,
+    out_rec = dict(record, batch=batch, commit=commit,
                    timestamp=time.strftime("%Y-%m-%dT%H:%M:%S"))
     os.makedirs(os.path.join(here, "results"), exist_ok=True)
-    with open(os.path.join(here, "results",
-                           f"BENCH_{record['metric']}_latest.json"), "w") as f:
+    # headline records live under the bare metric name; runs at any OTHER
+    # batch (latency experiments etc.) get a _b{batch} suffix so they never
+    # clobber the throughput record the driver's secondary lookup replays
+    headline_batch = 128 if model_name.startswith(("vit", "clip")) else 256
+    suffix = "" if batch == headline_batch else f"_b{batch}"
+    with open(os.path.join(
+            here, "results",
+            f"BENCH_{record['metric']}{suffix}_latest.json"), "w") as f:
         json.dump(out_rec, f, indent=1)
     print(json.dumps(record))
 
