@@ -263,8 +263,22 @@ def main() -> None:
             record["secondary_cached_from"] = os.path.relpath(vit_paths[-1], here)
         except Exception:
             pass
-    # Persist this run's own measurement (commit + timestamp) so replayed
-    # numbers are always traceable to a fresh file.
+    write_record(record, batch,
+                 headline_batch=headline_batch_for(model_name))
+    print(json.dumps(record))
+
+
+def headline_batch_for(model_name: str) -> int:
+    return 128 if model_name.startswith(("vit", "clip")) else 256
+
+
+def write_record(record: dict, batch: int, headline_batch: int) -> dict:
+    """Persist a bench record (commit + timestamp + batch) under
+    ``results/``. Headline records live under the bare metric name; runs at
+    any OTHER batch (latency experiments etc.) get a ``_b{batch}`` suffix
+    so they never clobber the throughput record the driver's secondary
+    lookup replays. Shared by bench.py and the scripts/bench_*.py writers."""
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
         import subprocess
 
@@ -275,17 +289,13 @@ def main() -> None:
         commit = None
     out_rec = dict(record, batch=batch, commit=commit,
                    timestamp=time.strftime("%Y-%m-%dT%H:%M:%S"))
-    os.makedirs(os.path.join(here, "results"), exist_ok=True)
-    # headline records live under the bare metric name; runs at any OTHER
-    # batch (latency experiments etc.) get a _b{batch} suffix so they never
-    # clobber the throughput record the driver's secondary lookup replays
-    headline_batch = 128 if model_name.startswith(("vit", "clip")) else 256
     suffix = "" if batch == headline_batch else f"_b{batch}"
+    os.makedirs(os.path.join(here, "results"), exist_ok=True)
     with open(os.path.join(
             here, "results",
             f"BENCH_{record['metric']}{suffix}_latest.json"), "w") as f:
         json.dump(out_rec, f, indent=1)
-    print(json.dumps(record))
+    return out_rec
 
 
 if __name__ == "__main__":

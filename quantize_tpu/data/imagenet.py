@@ -171,12 +171,15 @@ class FolderDataset:
     def few_shot(self, num_shots: int, seed: int = 0) -> "FolderDataset":
         if not num_shots or num_shots <= 0:
             return self
-        # len+classes in the key: a select_subclass() view must not collide
-        # with the full dataset's split for the same (seed, shots)
+        # per-class-count signature in the key: distinct views (subclass
+        # splits, prior few-shots) of the same root must never collide for
+        # the same (seed, shots), even at equal length/class-count
+        sig = hashlib.sha1(np.bincount(
+            self.labels, minlength=self.num_classes).tobytes()).hexdigest()[:12]
         cpath = _cache_path(
             "fewshot",
             f"{os.path.abspath(self.root)}|n={len(self)}"
-            f"|c={self.num_classes}|seed={seed}|shots={num_shots}")
+            f"|sig={sig}|seed={seed}|shots={num_shots}")
         keep_sorted = _cache_load(cpath, getattr(self, "_tree_mtime", 0.0))
         if keep_sorted is None:
             rng = np.random.default_rng(seed)
@@ -189,6 +192,7 @@ class FolderDataset:
             _cache_store(cpath, getattr(self, "_tree_mtime", 0.0), keep_sorted)
         out = object.__new__(FolderDataset)
         out.root, out.transform, out.classnames = self.root, self.transform, self.classnames
+        out._tree_mtime = getattr(self, "_tree_mtime", 0.0)
         out.paths = [self.paths[i] for i in keep_sorted]
         out.labels_list = [self.labels_list[i] for i in keep_sorted]
         out.labels = np.asarray(out.labels_list, np.int32)
@@ -212,6 +216,7 @@ class FolderDataset:
         keep = [i for i, lab in enumerate(self.labels_list) if lab in relabel]
         out = object.__new__(FolderDataset)
         out.root, out.transform = self.root, self.transform
+        out._tree_mtime = getattr(self, "_tree_mtime", 0.0)
         out.classnames = [self.classnames[lab] for lab in selected]
         out.paths = [self.paths[i] for i in keep]
         out.labels_list = [relabel[self.labels_list[i]] for i in keep]

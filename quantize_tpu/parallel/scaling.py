@@ -20,14 +20,19 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-# v5e ICI: 4 links x ~100 GB/s总... per-chip usable all-reduce bw is
-# bandwidth-model detail; we report bytes and let the estimate use a
-# conservative 90 GB/s bidirectional per chip.
+# v5e ICI: 4 links per chip at ~100 GB/s each direction; usable all-reduce
+# bandwidth depends on topology and algorithm, so the estimate uses a
+# conservative 90 GB/s effective per chip. We report raw bytes alongside so
+# the reader can apply their own bandwidth model.
 _ICI_BYTES_PER_S = 90e9
 
+# async collectives appear as <op>-start / <op>-done pairs in optimized
+# HLO; counting the bare substring would double-count them, so the suffix
+# is captured and '-done' lines are skipped.
 _COLLECTIVE_RE = re.compile(
-    r"=\s*([a-z0-9]+)\[([\d,]*)\][^=]*?"
+    r"=\s*\(?([a-z0-9]+)\[([\d,]*)\][^=]*?"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(-start|-done)?\("
 )
 
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
@@ -41,7 +46,9 @@ def collective_stats(hlo_text: str) -> Dict[str, Any]:
     counts: Dict[str, int] = {}
     total_bytes = 0.0
     for m in _COLLECTIVE_RE.finditer(hlo_text):
-        dtype, dims, op = m.group(1), m.group(2), m.group(3)
+        dtype, dims, op, suffix = m.group(1), m.group(2), m.group(3), m.group(4)
+        if suffix == "-done":
+            continue  # the matching -start already counted this collective
         counts[op] = counts.get(op, 0) + 1
         n = 1
         for d in dims.split(","):
@@ -137,9 +144,11 @@ def measure_scaling(
                                       image_size, 3)).astype(np.float32))
     deploy_sharded = shard_variables(mesh, deploy)
     xg = jax.device_put(xg, NamedSharding(mesh, P("data", None, None, None)))
-    lowered = fn.lower(deploy_sharded, xg)
-    stats = collective_stats(lowered.compile().as_text())
-    tn = _time_steps(fn, deploy_sharded, xg, iters)
+    # compile ONCE: the AOT executable serves both the HLO census and the
+    # timed path (a pod-scale GSPMD compile can take minutes)
+    compiled = fn.lower(deploy_sharded, xg).compile()
+    stats = collective_stats(compiled.as_text())
+    tn = _time_steps(compiled, deploy_sharded, xg, iters)
 
     global_batch = per_device_batch * dp
     return {

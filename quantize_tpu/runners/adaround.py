@@ -329,16 +329,25 @@ class AdaRound(PTQ):
             opt_state = tx.init(ada)
             betas = np.asarray([self._beta(i, steps_total)
                                 for i in range(steps_total)], np.float32)
-            xs = np.stack([x_ins[bi] if x_ins is not None
-                           else np.asarray(_tree_get(cache, path)["in"][0])
-                           for bi, cache in enumerate(caches)])
-            ys = np.stack([np.asarray(_tree_get(cache, path)["out"][0])
-                           for cache in caches])
+
+            def x_of(bi):
+                return (x_ins[bi] if x_ins is not None
+                        else np.asarray(_tree_get(caches[bi], path)["in"][0]))
+
+            def y_of(bi):
+                return np.asarray(_tree_get(caches[bi], path)["out"][0])
+
+            # size the stacked cache from ONE batch's shapes before
+            # materializing anything: the oversized case must not pay a
+            # second full host copy just to discover it needs the fallback
+            per_batch = x_of(0).nbytes + y_of(0).nbytes
             scan_cap = float(os.environ.get("QTPU_ADAROUND_SCAN_MB", 2048))
-            if (xs.nbytes + ys.nbytes) <= scan_cap * 1e6:
+            if per_batch * len(caches) <= scan_cap * 1e6:
                 run_scan = self._blockwise_layer_scan(clone, tx)
                 ada, opt_state, loss = run_scan(
-                    lv, opt_state, jnp.asarray(xs), jnp.asarray(ys),
+                    lv, opt_state,
+                    jnp.asarray(np.stack([x_of(b) for b in range(len(caches))])),
+                    jnp.asarray(np.stack([y_of(b) for b in range(len(caches))])),
                     jnp.asarray(betas))
             else:
                 # layer cache too big to stack on device: per-step dispatch
@@ -347,8 +356,8 @@ class AdaRound(PTQ):
                 for it in range(steps_total):
                     bi = it % len(caches)
                     ada, opt_state, loss = step(
-                        lv, opt_state, jnp.asarray(xs[bi]),
-                        jnp.asarray(ys[bi]),
+                        lv, opt_state, jnp.asarray(x_of(bi)),
+                        jnp.asarray(y_of(bi)),
                         jnp.asarray(betas[it], jnp.float32))
                     lv = {**lv, "adaround": ada}
             # ada is the layer-local adaround subtree; install it wholesale

@@ -7,14 +7,14 @@ synthesis, BENCH_K seed-chained batches per dispatch, hard value fetch,
 bf16-forward baseline. The reference counterpart is the CLIPModel eval loop
 (``modelzoo/clip/__init__.py:53-60``) which published no throughput.
 
-Prints ONE JSON line and writes results/BENCH_<metric>_latest.json.
-Env: BENCH_BATCH (128) / BENCH_K (8) / BENCH_ITERS (5) / BENCH_BACKBONE.
+Prints ONE JSON line and writes results/BENCH_<metric>_latest.json
+(off-headline batches get a _b{batch} suffix via bench.write_record).
+Env: BENCH_BATCH (128) / BENCH_K (32) / BENCH_ITERS (5) / BENCH_BACKBONE.
 """
 from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -24,15 +24,52 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def build_clip_on_cpu(size: int = 224, wbits: int = 8,
+                      num_classes: int = 1000, backbone: str = "ViT-B/16"):
+    """CLIP zero-shot CPU-side build: calibrate, precompute zero-shot
+    weights (hash-tokenized class prompts), pack. Shared with
+    scripts/profile_packed.py so the profiled model IS the benched model.
+    Returns (model, base_vars, deploy)."""
     import jax
     import jax.numpy as jnp
 
     from quantize_tpu.deploy import pack_model
-    from quantize_tpu.models.clip import (
-        CLIPZeroShot, HashTokenizer, build_zeroshot,
-    )
+    from quantize_tpu.models.clip import (CLIPZeroShot, HashTokenizer,
+                                          build_zeroshot)
     from quantize_tpu.nn.intercept import QuantCtx
+
+    cfg = {"default": {
+        "weight": {"n_bits": wbits, "symmetric": True, "signed": True,
+                   "granularity": "channel", "range": {"name": "minmax"}},
+        "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                       "range": {"name": "minmax"}},
+        "bn_folding": True}}
+    model = CLIPZeroShot(backbone=backbone, num_classes=num_classes,
+                         ctx=QuantCtx(cfg))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32))
+        cv = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate"))
+        cv.pop("taps", None)
+        _, upd = model.apply(cv, x, mode="calibrate",
+                             mutable=["qobs", "qparams"])
+        cv = {**cv, **upd}
+        tok = HashTokenizer(49408)
+        names = [f"class{i}" for i in range(num_classes)]
+        cv = build_zeroshot(model, cv, names, tokenizer=tok, mode="calibrate")
+        cv = build_zeroshot(model, cv, names, tokenizer=tok, mode="quant")
+        deploy = jax.device_get(pack_model(model, cv, x))
+        base_vars = jax.device_get({"params": cv["params"],
+                                    "qparams": cv["qparams"],
+                                    "zeroshot": cv["zeroshot"]})
+    return model, base_vars, deploy
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
     from quantize_tpu.nn.precision import set_packed_carry_dtype
 
     batch = int(os.environ.get("BENCH_BATCH", 128))
@@ -44,36 +81,9 @@ def main() -> None:
     backbone = os.environ.get("BENCH_BACKBONE", "clip_vit-b16")
     num_classes = 1000
 
-    cfg = {
-        "default": {
-            "weight": {"n_bits": 8, "symmetric": True, "signed": True,
-                       "granularity": "channel", "range": {"name": "minmax"}},
-            "activation": {"n_bits": 8, "symmetric": False,
-                           "granularity": "layer", "range": {"name": "minmax"}},
-            "bn_folding": True,
-        }
-    }
     bb = backbone.replace("clip_", "").replace("vit-b16", "ViT-B/16")
-    model = CLIPZeroShot(backbone=bb, num_classes=num_classes,
-                         ctx=QuantCtx(cfg))
-
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        rng = np.random.default_rng(0)
-        x_small = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32))
-        cv = dict(model.init(jax.random.PRNGKey(0), x_small, mode="calibrate"))
-        cv.pop("taps", None)
-        _, upd = model.apply(cv, x_small, mode="calibrate",
-                             mutable=["qobs", "qparams"])
-        cv = {**cv, **upd}
-        tok = HashTokenizer(49408)
-        names = [f"class{i}" for i in range(num_classes)]
-        cv = build_zeroshot(model, cv, names, tokenizer=tok, mode="calibrate")
-        cv = build_zeroshot(model, cv, names, tokenizer=tok, mode="quant")
-        deploy = jax.device_get(pack_model(model, cv, x_small))
-        base_vars = jax.device_get({
-            "params": cv["params"], "qparams": cv["qparams"],
-            "zeroshot": cv["zeroshot"]})
+    model, base_vars, deploy = build_clip_on_cpu(
+        size, wbits=8, num_classes=num_classes, backbone=bb)
 
     set_packed_carry_dtype("bfloat16")
     dev = jax.devices()[0]
@@ -126,26 +136,18 @@ def main() -> None:
     base_step = make_step("fp32", in_dtype=bf)
     t_base = timeit(base_step, jax.device_put(base_cast, dev))
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        commit = subprocess.run(["git", "-C", here, "rev-parse", "--short",
-                                 "HEAD"], capture_output=True,
-                                text=True).stdout.strip() or None
-    except Exception:
-        commit = None
+    import bench
+
     record = {
         "metric": f"{backbone}_w8a8_zeroshot_packed",
         "value": round(img_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(t_base / t_packed, 3),
         "baseline_dtype": "bfloat16",
-        "commit": commit,
-        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
-    os.makedirs(os.path.join(here, "results"), exist_ok=True)
-    with open(os.path.join(here, "results", f"BENCH_{record['metric']}_latest.json"), "w") as f:
-        json.dump(record, f, indent=1)
-    print(json.dumps(record))
+    out_rec = bench.write_record(record, batch,
+                                 headline_batch=bench.headline_batch_for("clip"))
+    print(json.dumps(out_rec))
 
 
 if __name__ == "__main__":

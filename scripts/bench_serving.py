@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -82,13 +81,6 @@ def main() -> None:
         dt = time.perf_counter() - t0
     stats = engine.stats()
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        commit = subprocess.run(["git", "-C", here, "rev-parse", "--short",
-                                 "HEAD"], capture_output=True,
-                                text=True).stdout.strip() or None
-    except Exception:
-        commit = None
     record = {
         "metric": "resnet50_w8a8_serving_continuous_batching",
         "value": round(n_total / dt, 1),
@@ -99,14 +91,11 @@ def main() -> None:
         "failed": stats["failed"],
         "host_cores": os.cpu_count(),
         "input_dtype": "uint8",
-        "commit": commit,
-        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
-    os.makedirs(os.path.join(here, "results"), exist_ok=True)
-    with open(os.path.join(here, "results", f"BENCH_{record['metric']}_latest.json"),
-              "w") as f:
-        json.dump(record, f, indent=1)
-    print(json.dumps(record))
+    import bench
+
+    out_rec = bench.write_record(record, batch, headline_batch=256)
+    print(json.dumps(out_rec))
 
 
 if __name__ == "__main__":

@@ -1,14 +1,18 @@
 """Training-path TPU benchmarks (VERDICT r3 item 4; BASELINE configs [2,3]
 are training configs but the reference published accuracy only — the
-throughput baseline here is the same model's bf16 training step).
+throughput baseline here is the same model's non-quantized f32 training
+step, whose matmuls the TPU already executes at bf16 precision by
+default).
 
 Two modes (BENCH_TRAIN=qat|adaround):
 
 * qat — ViT-B/16 W4A8 QAT step (the exact jitted step the QAT runner
   compiles: CE loss through the fake-quant graph, adam over params+qparams)
-  vs the same step with quantization off. Batch from BENCH_BATCH (config
-  default 128), synthetic on-device batches, chained timing with a hard
-  value fetch per iteration (see bench.py::_time).
+  vs the same step with quantization off (f32 dtypes; JAX's default TPU
+  matmul precision already runs these as single-pass bf16 MXU ops — see
+  docs/BENCH_NOTES.md round-4 precision note). Batch from BENCH_BATCH
+  (config default 128), synthetic on-device batches, chained timing with a
+  hard value fetch per iteration (see bench.py::_time).
 * adaround — MobileNetV2 W4 blockwise reconstruction: wall time of the
   per-layer optimization phase, per-layer dispatch count, and the scan-vs-
   python-loop comparison (QTPU_ADAROUND_SCAN_MB=0 forces the loop).
@@ -105,7 +109,7 @@ def bench_qat() -> None:
     print(json.dumps({
         "metric": f"{model_name}_w{wbits}a8_qat_train_step",
         "value": round(batch / t_q, 1), "unit": "img/s/chip",
-        "vs_baseline": round(t_f / t_q, 3), "baseline_dtype": "bf16-train",
+        "vs_baseline": round(t_f / t_q, 3), "baseline_dtype": "f32-train",
         "detail": {"batch": batch, "image": size,
                    "quant_ms_per_step": round(t_q * 1e3, 2),
                    "fp32_ms_per_step": round(t_f * 1e3, 2),

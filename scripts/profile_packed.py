@@ -52,46 +52,6 @@ def summarize_trace(trace_dir: str, min_us: float = 1.0):
     return proc_names, rows, cnt, total
 
 
-def _build_clip_on_cpu(size: int, wbits: int):
-    """CLIP zero-shot build (bench_clip.py flow): packed image tower +
-    precomputed zero-shot weights, 1000 hash-tokenized class prompts."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from quantize_tpu.deploy import pack_model
-    from quantize_tpu.models.clip import (CLIPZeroShot, HashTokenizer,
-                                          build_zeroshot)
-    from quantize_tpu.nn.intercept import QuantCtx
-
-    cfg = {"default": {
-        "weight": {"n_bits": wbits, "symmetric": True, "signed": True,
-                   "granularity": "channel", "range": {"name": "minmax"}},
-        "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
-                       "range": {"name": "minmax"}},
-        "bn_folding": True}}
-    model = CLIPZeroShot(backbone="ViT-B/16", num_classes=1000,
-                         ctx=QuantCtx(cfg))
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32))
-        cv = dict(model.init(jax.random.PRNGKey(0), x, mode="calibrate"))
-        cv.pop("taps", None)
-        _, upd = model.apply(cv, x, mode="calibrate",
-                             mutable=["qobs", "qparams"])
-        cv = {**cv, **upd}
-        tok = HashTokenizer(49408)
-        names = [f"class{i}" for i in range(1000)]
-        cv = build_zeroshot(model, cv, names, tokenizer=tok, mode="calibrate")
-        cv = build_zeroshot(model, cv, names, tokenizer=tok, mode="quant")
-        deploy = jax.device_get(pack_model(model, cv, x))
-        base = jax.device_get({"params": cv["params"],
-                               "qparams": cv["qparams"],
-                               "zeroshot": cv["zeroshot"]})
-    return model, base, deploy
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--carry", default="bfloat16")
@@ -119,7 +79,9 @@ def main() -> None:
     import bench
 
     if args.model.startswith("clip"):
-        model, variables, deploy = _build_clip_on_cpu(args.size, args.wbits)
+        from bench_clip import build_clip_on_cpu  # the benched build, shared
+
+        model, variables, deploy = build_clip_on_cpu(args.size, args.wbits)
     else:
         model, variables, deploy = bench._build_on_cpu(
             args.size, args.model, args.wbits, args.abits)

@@ -51,3 +51,17 @@ def test_collective_stats_parses_hlo():
     assert s["collective_counts"] == {"all-reduce": 1, "all-gather": 1,
                                       "reduce-scatter": 1}
     assert s["collective_bytes_per_step"] == 8 * 16 * 4 + 4 * 32 * 2 + 128
+
+
+def test_collective_stats_counts_async_pairs_once():
+    """Real-TPU optimized HLO emits async <op>-start/<op>-done pairs; each
+    collective must count exactly once (the -start), not twice."""
+    hlo = """
+  %s0 = f32[8,16]{1,0} all-reduce-start(f32[8,16]{1,0} %p0), replica_groups={}
+  %d0 = f32[8,16]{1,0} all-reduce-done(f32[8,16]{1,0} %s0)
+  %s1 = bf16[4,32]{1,0} all-gather-start(bf16[4,8]{1,0} %p1), dimensions={1}
+  %d1 = bf16[4,32]{1,0} all-gather-done(bf16[4,32]{1,0} %s1)
+    """
+    s = collective_stats(hlo)
+    assert s["collective_counts"] == {"all-reduce": 1, "all-gather": 1}
+    assert s["collective_bytes_per_step"] == 8 * 16 * 4 + 4 * 32 * 2
