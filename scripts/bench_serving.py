@@ -33,11 +33,14 @@ def main() -> None:
     from quantize_tpu.nn.precision import set_packed_carry_dtype
     from quantize_tpu.parallel.serving import InferenceEngine
 
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    model_name = os.environ.get("BENCH_MODEL", "resnet50")
+    w_bits = int(os.environ.get("BENCH_WBITS", 8))
+    default_batch = bench.headline_batch_for(model_name)
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
     n_total = int(os.environ.get("BENCH_SERVE_N", 4096))
     size = int(os.environ.get("BENCH_SIZE", 224))
 
-    model, variables, deploy = bench._build_on_cpu(size, "resnet50", 8, 8)
+    model, variables, deploy = bench._build_on_cpu(size, model_name, w_bits, 8)
     set_packed_carry_dtype("bfloat16")
 
     import jax
@@ -82,7 +85,7 @@ def main() -> None:
     stats = engine.stats()
 
     record = {
-        "metric": "resnet50_w8a8_serving_continuous_batching",
+        "metric": f"{model_name}_w{w_bits}a8_serving_continuous_batching",
         "value": round(n_total / dt, 1),
         "unit": "img/s/chip",
         "batch_size": batch,
@@ -94,7 +97,7 @@ def main() -> None:
     }
     import bench
 
-    out_rec = bench.write_record(record, batch, headline_batch=256)
+    out_rec = bench.write_record(record, batch, headline_batch=default_batch)
     print(json.dumps(out_rec))
 
 
