@@ -93,3 +93,34 @@ def test_wideresnet_quant_forward():
     variables = {**variables, **upd}
     y = model.apply(variables, x, mode="quant")
     assert y.shape == (2, 10) and np.isfinite(np.asarray(y)).all()
+
+
+def test_public_api_workflow():
+    """The package-root workflow (README/USAGE contract): build -> init ->
+    calibrate -> quant sim -> pack -> packed forward, all via lazy
+    top-level exports."""
+    import numpy as np
+
+    import quantize_tpu as qt
+
+    cfg = {"default": {
+        "weight": {"n_bits": 8, "symmetric": True, "signed": True,
+                   "granularity": "channel", "range": {"name": "minmax"}},
+        "activation": {"n_bits": 8, "symmetric": False, "granularity": "layer",
+                       "range": {"name": "minmax"}},
+        "bn_folding": True}}
+    model = qt.MODELS.build("testcnn", num_classes=4, ctx=qt.QuantCtx(cfg))
+    rng = np.random.default_rng(0)
+    xs = [rng.normal(size=(2, 16, 16, 3)).astype(np.float32) for _ in range(2)]
+    v = qt.init_model(model, xs[0])
+    v = qt.calibrate_model(model, v, [xs[0], {"img": xs[1]}])
+    sim = np.asarray(model.apply(v, xs[0], mode="quant"))
+    deploy = qt.pack_model(model, v, xs[0])
+    packed = np.asarray(model.apply(deploy, xs[0], mode="packed"), np.float32)
+    assert sim.shape == packed.shape == (2, 4)
+    assert np.isfinite(sim).all() and np.isfinite(packed).all()
+    assert (np.argmax(sim, -1) == np.argmax(packed, -1)).mean() >= 0.5
+    # on this tiny model, per-layer packed metadata outweighs the weight
+    # savings — just check the accounting runs on both trees
+    assert qt.model_size_bytes(deploy) > 0 and qt.model_size_bytes(v) > 0
+    assert "calibrate_model" in dir(qt)  # lazy __dir__ works
