@@ -339,7 +339,39 @@ def mha_case(name, quant_default, d=32, h=4, m=64, depth=2, num_classes=10):
         names, fp32, quant, qp)
 
 
+def _load_reference_clip_vit():
+    """The reference's OWN CLIP VisionTransformer (``modelzoo/clip/model.py:
+    206-240``) — self-contained torch, no torchvision — imported from file."""
+    spec = importlib.util.spec_from_file_location(
+        "refclip_model", os.path.join(REF, "modelzoo", "clip", "model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.VisionTransformer
+
+
+def clip_vit_case(name, quant_default, res=32, patch=8, width=32, layers=2,
+                  heads=2, out_dim=16):
+    cfg = {"default": dict(quant_default)}
+    VisionTransformer = _load_reference_clip_vit()
+    model = VisionTransformer(input_resolution=res, patch_size=patch,
+                              width=width, layers=layers, heads=heads,
+                              output_dim=out_dim)
+    x_shape = (2, 3, res, res)
+    calib_seeds, eval_seed = [7301, 7302], 7310
+    names, fp32, quant, qp = run_pipeline(model, cfg, x_shape, calib_seeds,
+                                          eval_seed, in_scale=0.8, in_loc=0.1)
+    add({"case": name, "kind": "clip_vit", "quant_cfg": cfg,
+         "res": res, "patch": patch, "width": width, "layers": layers,
+         "heads": heads, "out_dim": out_dim, "num_classes": out_dim,
+         "x_shape": list(x_shape), "in_scale": 0.8, "in_loc": 0.1,
+         "calib_seeds": calib_seeds, "eval_seed": eval_seed},
+        names, fp32, quant, qp)
+
+
 print("generating full-network golden fixtures from the reference pipeline")
+clip_vit_case("clip_vit_tower_w8a8",
+              {"weight": dict(W8), "activation": dict(A8),
+               "bn_folding": False})
 resnet_case("resnet18_w8a8_bnfold",
             {"weight": dict(W8), "activation": dict(A8), "bn_folding": True})
 resnet_case("resnet18_w8a8_intoscale",

@@ -174,6 +174,90 @@ def test_resnet18_pipeline_matches_reference(case):
 
 
 # ---------------------------------------------------------------------------
+# The reference's OWN CLIP VisionTransformer (modelzoo/clip/model.py:206-240)
+# vs this framework's CLIPVisionTransformer mirror
+# ---------------------------------------------------------------------------
+
+def _clip_params(c, sd):
+    d = c["width"]
+
+    def dense(w, b):
+        return {"kernel": jnp.asarray(w.T), "bias": jnp.asarray(b)}
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[f"{prefix}.weight"]),
+                "bias": jnp.asarray(sd[f"{prefix}.bias"])}
+
+    p = {
+        "conv1": {"kernel": jnp.asarray(
+            sd["conv1.weight"].transpose(2, 3, 1, 0))},
+        "class_embedding": jnp.asarray(sd["class_embedding"]),
+        "positional_embedding": jnp.asarray(sd["positional_embedding"]),
+        "ln_pre": ln("ln_pre"), "ln_post": ln("ln_post"),
+        "proj": jnp.asarray(sd["proj"]),
+        "transformer": {},
+    }
+    for i in range(c["layers"]):
+        pre = f"transformer.resblocks.{i}."
+        iw, ib = sd[pre + "attn.in_proj_weight"], sd[pre + "attn.in_proj_bias"]
+        p["transformer"][f"resblock_{i}"] = {
+            "ln_1": ln(pre + "ln_1"), "ln_2": ln(pre + "ln_2"),
+            "attn": {
+                "q_proj": dense(iw[:d], ib[:d]),
+                "k_proj": dense(iw[d:2 * d], ib[d:2 * d]),
+                "v_proj": dense(iw[2 * d:], ib[2 * d:]),
+                "out_proj": dense(sd[pre + "attn.out_proj.weight"],
+                                  sd[pre + "attn.out_proj.bias"]),
+            },
+            "c_fc": dense(sd[pre + "mlp.c_fc.weight"],
+                          sd[pre + "mlp.c_fc.bias"]),
+            "c_proj": dense(sd[pre + "mlp.c_proj.weight"],
+                            sd[pre + "mlp.c_proj.bias"]),
+        }
+    return p
+
+
+def _clip_qpath(ref_path):
+    parts = ref_path.split(".")
+    if parts[0] == "conv1":
+        return f"/conv1/{parts[-1]}"
+    if parts[0] == "transformer":  # transformer.resblocks.N.<rest>
+        blk = f"transformer/resblock_{parts[2]}"
+        if parts[3] == "attn":
+            return f"/{blk}/{_MHA_QMAP[parts[-1]].replace('self_attention', 'attn')}"
+        if parts[3] == "mlp":  # mlp.c_fc / mlp.c_proj live flat in the block
+            return f"/{blk}/{parts[4]}/{parts[-1]}"
+    raise KeyError(ref_path)
+
+
+_CLIPS = [c["case"] for c in _FIXTURE["cases"] if c["kind"] == "clip_vit"]
+
+
+@pytest.mark.parametrize("case", _CLIPS)
+def test_clip_vision_tower_matches_reference(case):
+    from quantize_tpu.models.clip.model import CLIPVisionTransformer
+
+    c = _CASES[case]
+    model = CLIPVisionTransformer(
+        patch_size=c["patch"], width=c["width"], layers=c["layers"],
+        heads=c["heads"], output_dim=c["out_dim"],
+        ctx=QuantCtx(c["quant_cfg"]))
+    shape = tuple(c["x_shape"])
+    batches = [jnp.asarray(_nhwc(gen_input(s, shape, c["in_scale"],
+                                           c["in_loc"])))
+               for s in c["calib_seeds"]]
+    x_eval = jnp.asarray(_nhwc(gen_input(c["eval_seed"], shape,
+                                         c["in_scale"], c["in_loc"])))
+    v = dict(model.init(jax.random.PRNGKey(0), batches[0], mode="calibrate"))
+    v.pop("taps", None)
+    v["params"] = _clip_params(c, _state_dict(c))
+    v = _calibrate(model, reset_observers(v), batches)
+    _check_qparams(v, c, _clip_qpath)
+    _check_logits(model.apply(v, x_eval, mode="fp32"), c, "fp32")
+    _check_logits(model.apply(v, x_eval, mode="quant"), c, "quant")
+
+
+# ---------------------------------------------------------------------------
 # MobileNet-style stack: depthwise/grouped conv folding + residual
 # ---------------------------------------------------------------------------
 
