@@ -140,3 +140,23 @@ def test_packed_attention_awq_weight_only(rng):
     y_packed = m.apply(deploy, x, mode="packed")
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_sim),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_int8_scores_variant_close_to_oracle(rng):
+    """The selectable int8-scores kernel (QTPU_ATTN_INT8=1; measured-slower
+    on v5e but kept for A/B — docs/BENCH_NOTES.md round 4): dynamic
+    symmetric per-(image, head) quantization must stay within int8 noise of
+    the f32 oracle, masked pad keys and causal mode included."""
+    from quantize_tpu.ops.pallas.attention import (_mha_ref_rows,
+                                                   mha_fused_qkv_rows)
+
+    B, S, E, H, valid = 3, 16, 64, 4, 13
+    qkv = jnp.asarray(rng.normal(size=(B * S, 3 * E)).astype(np.float32))
+    for causal in (False, True):
+        ref = np.asarray(_mha_ref_rows(qkv, H, S, causal, jnp.float32,
+                                       valid)).reshape(B, S, E)[:, :valid]
+        out = np.asarray(mha_fused_qkv_rows(
+            qkv, H, S, causal=causal, valid_len=valid,
+            int8_scores=True), np.float32).reshape(B, S, E)[:, :valid]
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.03, f"causal={causal}: rel err {rel:.4f}"
