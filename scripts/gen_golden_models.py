@@ -368,10 +368,48 @@ def clip_vit_case(name, quant_default, res=32, patch=8, width=32, layers=2,
         names, fp32, quant, qp)
 
 
+def _load_reference_clip_rn():
+    spec = importlib.util.spec_from_file_location(
+        "refclip_model_rn", os.path.join(REF, "modelzoo", "clip", "model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.ModifiedResNet
+
+
+def clip_rn_case(name, quant_default, res=32, width=8, heads=2, out_dim=16):
+    """CLIP ModifiedResNet tower. NOTE the reference's AttentionPool2d
+    forward reads ``self.q_proj.weight`` directly (``model.py:69-91``), so
+    its reconstructed QuantLinears are INERT — never calibrated, never
+    quantized. This framework's mirror DOES quantize them (a deliberate
+    deviation, docs/PARITY.md); the fixture therefore scopes the attnpool
+    to 32-bit on the replay side via a path-regex override that matches
+    nothing in the reference's path space (its attnpool root is
+    '/attnpool', ours '/visual/attnpool')."""
+    cfg = {"default": dict(quant_default),
+           "/visual/attnpool": {"weight": {"n_bits": 32},
+                                "activation": {"n_bits": 32}}}
+    ModifiedResNet = _load_reference_clip_rn()
+    model = ModifiedResNet(layers=(1, 1, 1, 1), output_dim=out_dim,
+                           heads=heads, input_resolution=res, width=width)
+    x_shape = (2, 3, res, res)
+    calib_seeds, eval_seed = [7401, 7402], 7410
+    names, fp32, quant, qp = run_pipeline(model, cfg, x_shape, calib_seeds,
+                                          eval_seed, in_scale=0.8, in_loc=0.1)
+    add({"case": name, "kind": "clip_rn", "quant_cfg": cfg,
+         "res": res, "width": width, "heads": heads, "out_dim": out_dim,
+         "num_classes": out_dim, "x_shape": list(x_shape),
+         "in_scale": 0.8, "in_loc": 0.1,
+         "calib_seeds": calib_seeds, "eval_seed": eval_seed},
+        names, fp32, quant, qp)
+
+
 print("generating full-network golden fixtures from the reference pipeline")
 clip_vit_case("clip_vit_tower_w8a8",
               {"weight": dict(W8), "activation": dict(A8),
                "bn_folding": False})
+clip_rn_case("clip_rn_tower_w8a8",
+             {"weight": dict(W8), "activation": dict(A8),
+              "bn_folding": True})
 resnet_case("resnet18_w8a8_bnfold",
             {"weight": dict(W8), "activation": dict(A8), "bn_folding": True})
 resnet_case("resnet18_w8a8_intoscale",

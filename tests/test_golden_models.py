@@ -101,10 +101,14 @@ def _check_qparams(variables, c, path_map):
     on both sides, so ranges — single extreme values or deterministic grid
     searches — agree to reassociation noise, not quant-step noise."""
     mine = _flat_qparams(variables["qparams"])
-    checked = 0
+    checked = skipped = 0
     for ref_path, rec in c["qparams"].items():
         q = path_map(ref_path)
         if q is None:
+            # mapper explicitly excludes this site (e.g. the reference's
+            # inert attnpool quantizers, whose scales sit at their 1.0
+            # init because its forward never runs them)
+            skipped += 1
             continue
         for field in ("scale", "zero"):
             key = f"{q}/{field}"
@@ -118,8 +122,9 @@ def _check_qparams(variables, c, path_map):
                 ours, ref, rtol=2e-3, atol=atol,
                 err_msg=f"{c['case']}: calibrated {key}")
         checked += 1
-    assert checked >= len(c["qparams"]) * 0.9, (
-        f"{c['case']}: only {checked}/{len(c['qparams'])} quantizers mapped")
+    assert checked > 0 and checked + skipped == len(c["qparams"]), (
+        f"{c['case']}: {checked} checked + {skipped} skipped != "
+        f"{len(c['qparams'])} reference quantizers")
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +258,87 @@ def test_clip_vision_tower_matches_reference(case):
     v["params"] = _clip_params(c, _state_dict(c))
     v = _calibrate(model, reset_observers(v), batches)
     _check_qparams(v, c, _clip_qpath)
+    _check_logits(model.apply(v, x_eval, mode="fp32"), c, "fp32")
+    _check_logits(model.apply(v, x_eval, mode="quant"), c, "quant")
+
+
+# ---------------------------------------------------------------------------
+# The reference's OWN CLIP ModifiedResNet tower (model.py:94-154): 3-conv
+# stem, anti-aliased bottlenecks, AttentionPool2d. The reference's attnpool
+# reads .weight directly so ITS quantizers are inert — the fixture scopes
+# the replay's attnpool to 32-bit (docs/PARITY.md deviation note), which
+# also exercises path-regex config scoping through a whole network.
+# ---------------------------------------------------------------------------
+
+def _clip_rn_params(c, sd):
+    p = {}
+
+    def conv_fold(our, conv_key, bn_key):
+        w, b = _fold_bn(sd[f"{conv_key}.weight"],
+                        sd[f"{bn_key}.weight"], sd[f"{bn_key}.bias"],
+                        sd[f"{bn_key}.running_mean"],
+                        sd[f"{bn_key}.running_var"])
+        node = p
+        parts = our.split("/")
+        for seg in parts[:-1]:
+            node = node.setdefault(seg, {})
+        node[parts[-1]] = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                           "bias": jnp.asarray(b)}
+
+    for i in (1, 2, 3):
+        conv_fold(f"conv{i}", f"conv{i}", f"bn{i}")
+    for stage in (1, 2, 3, 4):
+        pre = f"layer{stage}.0."
+        for i in (1, 2, 3):
+            conv_fold(f"layer{stage}_0/conv{i}", pre + f"conv{i}",
+                      pre + f"bn{i}")
+        if f"{pre}downsample.0.weight" in sd:
+            conv_fold(f"layer{stage}_0/downsample_conv",
+                      pre + "downsample.0", pre + "downsample.1")
+    ap = {"positional_embedding": jnp.asarray(sd["attnpool.positional_embedding"])}
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        ap[proj] = {"kernel": jnp.asarray(sd[f"attnpool.{proj}.weight"].T),
+                    "bias": jnp.asarray(sd[f"attnpool.{proj}.bias"])}
+    p["attnpool"] = ap
+    return p
+
+
+def _clip_rn_qpath(ref_path):
+    parts = ref_path.split(".")
+    if parts[0].startswith("layer"):
+        blk = f"{parts[0]}_{parts[1]}"
+        if parts[2] == "downsample":
+            return f"/{blk}/downsample_conv/{parts[-1]}"
+        return f"/{blk}/{parts[2]}/{parts[-1]}"
+    if parts[0].startswith("conv"):
+        return f"/{parts[0]}/{parts[-1]}"
+    if parts[0] == "attnpool":
+        return None  # inert in the reference (never calibrated) — skipped
+    raise KeyError(ref_path)
+
+
+_CLIP_RNS = [c["case"] for c in _FIXTURE["cases"] if c["kind"] == "clip_rn"]
+
+
+@pytest.mark.parametrize("case", _CLIP_RNS)
+def test_clip_resnet_tower_matches_reference(case):
+    from quantize_tpu.models.clip.model import ModifiedResNet
+
+    c = _CASES[case]
+    model = ModifiedResNet(layers=(1, 1, 1, 1), output_dim=c["out_dim"],
+                           heads=c["heads"], width=c["width"],
+                           ctx=QuantCtx(c["quant_cfg"]))
+    shape = tuple(c["x_shape"])
+    batches = [jnp.asarray(_nhwc(gen_input(s, shape, c["in_scale"],
+                                           c["in_loc"])))
+               for s in c["calib_seeds"]]
+    x_eval = jnp.asarray(_nhwc(gen_input(c["eval_seed"], shape,
+                                         c["in_scale"], c["in_loc"])))
+    v = dict(model.init(jax.random.PRNGKey(0), batches[0], mode="calibrate"))
+    v.pop("taps", None)
+    v["params"] = _clip_rn_params(c, _state_dict(c))
+    v = _calibrate(model, reset_observers(v), batches)
+    _check_qparams(v, c, _clip_rn_qpath)
     _check_logits(model.apply(v, x_eval, mode="fp32"), c, "fp32")
     _check_logits(model.apply(v, x_eval, mode="quant"), c, "quant")
 
