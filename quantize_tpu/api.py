@@ -28,6 +28,8 @@ def init_model(model, sample_x, seed: int = 0,
     requires (see :func:`quantize_tpu.nn.quantizer.reset_observers`)."""
     import jax
 
+    if isinstance(sample_x, dict):
+        sample_x = sample_x["img"]  # loader batches, as in calibrate_model
     variables = dict(model.init(jax.random.PRNGKey(seed), sample_x,
                                 mode="calibrate"))
     variables.pop("taps", None)
@@ -35,7 +37,10 @@ def init_model(model, sample_x, seed: int = 0,
         from .models.import_auto import import_torch_checkpoint
         from .nn.quantizer import reset_observers
 
-        assert model_name, "model_name is required to pick the importer"
+        if not model_name:
+            raise ValueError(
+                "init_model(torch_state_dict=...) needs model_name to pick "
+                "the importer (see models/import_auto.py)")
         variables = import_torch_checkpoint(
             model_name, torch_state_dict, variables,
             fold_bn=fold_bn, into_scale=into_scale)

@@ -339,21 +339,26 @@ def mha_case(name, quant_default, d=32, h=4, m=64, depth=2, num_classes=10):
         names, fp32, quant, qp)
 
 
-def _load_reference_clip_vit():
-    """The reference's OWN CLIP VisionTransformer (``modelzoo/clip/model.py:
-    206-240``) — self-contained torch, no torchvision — imported from file."""
-    spec = importlib.util.spec_from_file_location(
-        "refclip_model", os.path.join(REF, "modelzoo", "clip", "model.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.VisionTransformer
+_REFCLIP_MOD = None
+
+
+def _load_reference_clip_module():
+    """The reference's OWN CLIP model code (``modelzoo/clip/model.py``) —
+    self-contained torch, no torchvision — imported from file once."""
+    global _REFCLIP_MOD
+    if _REFCLIP_MOD is None:
+        spec = importlib.util.spec_from_file_location(
+            "refclip_model", os.path.join(REF, "modelzoo", "clip", "model.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _REFCLIP_MOD = mod
+    return _REFCLIP_MOD
 
 
 def clip_vit_case(name, quant_default, res=32, patch=8, width=32, layers=2,
                   heads=2, out_dim=16):
     cfg = {"default": dict(quant_default)}
-    VisionTransformer = _load_reference_clip_vit()
-    model = VisionTransformer(input_resolution=res, patch_size=patch,
+    model = _load_reference_clip_module().VisionTransformer(input_resolution=res, patch_size=patch,
                               width=width, layers=layers, heads=heads,
                               output_dim=out_dim)
     x_shape = (2, 3, res, res)
@@ -368,15 +373,8 @@ def clip_vit_case(name, quant_default, res=32, patch=8, width=32, layers=2,
         names, fp32, quant, qp)
 
 
-def _load_reference_clip_rn():
-    spec = importlib.util.spec_from_file_location(
-        "refclip_model_rn", os.path.join(REF, "modelzoo", "clip", "model.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.ModifiedResNet
-
-
-def clip_rn_case(name, quant_default, res=32, width=8, heads=2, out_dim=16):
+def clip_rn_case(name, quant_default, res=32, width=8, heads=2, out_dim=16,
+                 layers=(1, 1, 1, 1)):
     """CLIP ModifiedResNet tower. NOTE the reference's AttentionPool2d
     forward reads ``self.q_proj.weight`` directly (``model.py:69-91``), so
     its reconstructed QuantLinears are INERT — never calibrated, never
@@ -388,15 +386,16 @@ def clip_rn_case(name, quant_default, res=32, width=8, heads=2, out_dim=16):
     cfg = {"default": dict(quant_default),
            "/visual/attnpool": {"weight": {"n_bits": 32},
                                 "activation": {"n_bits": 32}}}
-    ModifiedResNet = _load_reference_clip_rn()
-    model = ModifiedResNet(layers=(1, 1, 1, 1), output_dim=out_dim,
-                           heads=heads, input_resolution=res, width=width)
+    model = _load_reference_clip_module().ModifiedResNet(
+        layers=tuple(layers), output_dim=out_dim, heads=heads,
+        input_resolution=res, width=width)
     x_shape = (2, 3, res, res)
     calib_seeds, eval_seed = [7401, 7402], 7410
     names, fp32, quant, qp = run_pipeline(model, cfg, x_shape, calib_seeds,
                                           eval_seed, in_scale=0.8, in_loc=0.1)
     add({"case": name, "kind": "clip_rn", "quant_cfg": cfg,
          "res": res, "width": width, "heads": heads, "out_dim": out_dim,
+         "layers": list(layers),
          "num_classes": out_dim, "x_shape": list(x_shape),
          "in_scale": 0.8, "in_loc": 0.1,
          "calib_seeds": calib_seeds, "eval_seed": eval_seed},

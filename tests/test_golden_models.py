@@ -325,9 +325,9 @@ def test_clip_resnet_tower_matches_reference(case):
     from quantize_tpu.models.clip.model import ModifiedResNet
 
     c = _CASES[case]
-    model = ModifiedResNet(layers=(1, 1, 1, 1), output_dim=c["out_dim"],
-                           heads=c["heads"], width=c["width"],
-                           ctx=QuantCtx(c["quant_cfg"]))
+    model = ModifiedResNet(layers=tuple(c["layers"]),
+                           output_dim=c["out_dim"], heads=c["heads"],
+                           width=c["width"], ctx=QuantCtx(c["quant_cfg"]))
     shape = tuple(c["x_shape"])
     batches = [jnp.asarray(_nhwc(gen_input(s, shape, c["in_scale"],
                                            c["in_loc"])))
