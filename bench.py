@@ -129,14 +129,18 @@ def main() -> None:
         _main_mesh(mesh_spec)
         return
 
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    model_env = os.environ.get("BENCH_MODEL", "resnet50")
+    # default batch follows the model's HEADLINE batch (128 for vit/clip,
+    # 256 for CNNs) so `BENCH_MODEL=vit_b_16 python bench.py` updates the
+    # headline *_latest.json record, not a _b256-suffixed side record
+    batch = int(os.environ.get("BENCH_BATCH", headline_batch_for(model_env)))
     size = int(os.environ.get("BENCH_SIZE", 224))
     iters = int(os.environ.get("BENCH_ITERS", 5))
     k_per_dispatch = int(os.environ.get("BENCH_K", 32))
     run_baseline = os.environ.get("BENCH_BASELINE", "1") != "0"
     baseline_dtype = os.environ.get("BENCH_BASELINE_DTYPE", "bfloat16")
     carry = os.environ.get("BENCH_CARRY", "bfloat16")
-    model_name = os.environ.get("BENCH_MODEL", "resnet50")
+    model_name = model_env
     w_bits = int(os.environ.get("BENCH_WBITS", 8))
     a_bits = int(os.environ.get("BENCH_ABITS", 8))
     # int8 block-boundary carries: device-lane profiles showed parity with

@@ -5,7 +5,7 @@ and the variant files): a class-per-directory image tree, loaded lazily with
 PIL. Like the reference, the folder index and each (seed, shots) few-shot
 split are pickle-cached — a second run over a 1.28M-image tree does zero
 directory walking. Cache dir: ``QTPU_CACHE_DIR`` (default
-``~/.cache/quantize_tpu``); entries invalidate on tree mtime change;
+``~/.cache/quantize_tpu``); entries invalidate when any class dir's (mtime_ns, size) stat changes;
 ``QTPU_INDEX_CACHE=0`` disables.
 """
 from __future__ import annotations
@@ -37,39 +37,44 @@ def _cache_path(kind: str, key: str) -> Optional[str]:
     return os.path.join(d, f"{kind}_{h}.pkl")
 
 
-def _tree_mtime(root: str, classes: Sequence[str]) -> float:
-    """Newest mtime over the root and its class dirs (one stat per class —
-    cheap vs listing 1.28M files; adding/removing an image touches its
-    class dir's mtime)."""
-    mt = os.path.getmtime(root)
-    for c in classes:
+def _tree_mtime(root: str, classes: Sequence[str]):
+    """Per-class-dir (mtime_ns, size) validity key — one stat per class,
+    cheap vs listing 1.28M files. Adding/removing an image updates its
+    class dir's nanosecond mtime (so there is no same-second granularity
+    window) and usually its directory size; both are compared. Residual
+    caveat: a sync tool that preserves directory mtimes exactly AND leaves
+    the dirent block count unchanged can still serve a stale index — set
+    QTPU_INDEX_CACHE=0 for such trees."""
+    def key(p):
         try:
-            mt = max(mt, os.path.getmtime(os.path.join(root, c)))
+            st = os.stat(p)
+            return (st.st_mtime_ns, st.st_size)
         except OSError:
-            pass
-    return mt
+            return (0, 0)
+
+    return (key(root),) + tuple(key(os.path.join(root, c)) for c in classes)
 
 
-def _cache_load(path: Optional[str], mtime: float):
+def _cache_load(path: Optional[str], key):
     if path is None or not os.path.exists(path):
         return None
     try:
         with open(path, "rb") as f:
             obj = pickle.load(f)
-        if obj.get("mtime") == mtime:
+        if obj.get("mtime") == key:
             return obj["data"]
     except Exception:
         pass
     return None
 
 
-def _cache_store(path: Optional[str], mtime: float, data) -> None:
+def _cache_store(path: Optional[str], key, data) -> None:
     if path is None:
         return
     tmp = f"{path}.tmp.{os.getpid()}"
     try:
         with open(tmp, "wb") as f:
-            pickle.dump({"mtime": mtime, "data": data}, f,
+            pickle.dump({"mtime": key, "data": data}, f,
                         protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)
     except OSError:

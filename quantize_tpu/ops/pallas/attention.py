@@ -43,43 +43,55 @@ def _cdiv(a: int, b: int) -> int:
 def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
                      embed: int, scale: float, causal: bool,
                      valid_len: int):
-    """bf16-scores kernel, VPU-lean softmax.
+    """bf16-scores kernel, VPU-lean softmax, exact for ANY logit magnitude.
 
     Round-4 measurement showed this kernel is VPU-bound, not MXU-bound: the
     12 (S, S) softmaxes are ~0.45 of its ~0.6 ms at ViT-B/16 shapes, the
-    MXU dots only ~0.15 (``docs/BENCH_NOTES.md`` round 4). The softmax is
-    therefore trimmed to its minimum per-element pass count over (S, S):
+    MXU dots only ~0.15 (``docs/BENCH_NOTES.md`` round 4). The softmax
+    keeps its per-element pass count over (S, S) minimal:
 
-    * the row-max subtraction (a reduce + a subtract, 2 passes) is replaced
-      by ONE ``min(scores, limit)`` where ``limit`` is a precomputed
-      (1, S) / (S, S) vector that is +60 on attendable keys and -1e30 on
-      pad/causal-masked keys — mask and overflow-clamp fused into one op;
+    * pad/causal masking is ONE ``min(scores, limit)`` where ``limit`` is a
+      precomputed (1, S) / (S, S) vector that is +3e38 (a no-op for finite
+      scores) on attendable keys and -1e30 on masked entries; when pad rows
+      exist it masks pad *query* rows too, keeping garbage rows inert;
+    * stability is the classic per-row max shift ``exp(sc - relu(m))`` —
+      the subtract fuses into the exp pass, so its cost over an
+      unprotected exp is one (S, S) -> (S, 1) max reduce. The round-5
+      bake-off (same-process K-delta, ViT-B/16 b128 shapes) priced the
+      alternatives: round-4's fixed +60 clamp 0.56 ms/dispatch, a
+      per-(image, head) scalar shift 0.62, per-row 0.71. The cheaper two
+      are gone for correctness, not speed: trained ViT/CLIP checkpoints
+      exceed logit 60 in some heads, which the fixed clamp silently
+      flattened, and the scalar shift zeroes out any row whose own max
+      sits > ~87 (f32 exp underflow) below the head's global max — a
+      reachable regime (``test_mha_kernel_large_logits_exact`` covers
+      score maxima > 80 and fails the scalar-shift variant at 1.3%
+      mismatched elements);
     * the 1/sum normalization moves off the (S, S) probability matrix onto
       the (S, D) AV *output* rows — the AV dot runs on unnormalized
       ``exp`` weights and ``sum(ex)`` feeds a per-(row, head) divide.
 
-    Numerics: exact vs the max-subtracted softmax whenever the row's max
-    score is in (-87 + ln S, 60) — always, for real activations (attention
-    logits after /sqrt(d) are O(10)). A row with ALL scores < -87
-    underflows to zeros (the ``nrm`` guard avoids NaN); scores are clamped
-    at +60 so ``sum(exp)`` stays finite in f32."""
+    ``relu(m)`` (not ``m``) keeps fully-masked rows finite: their max is
+    -1e30 and subtracting it would overflow; with relu they underflow to
+    zeros and the ``norm`` guard avoids NaN (pad rows are discarded by the
+    caller). For a negative true max the shift is 0 and every ``exp``
+    argument is already <= 0 — softmax is shift-invariant per row, so the
+    result is exact either way."""
     h, d, e = num_heads, head_dim, embed
     x = x_ref[:]                                     # (S, 3E)
     s = x.shape[0]
     mm_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
 
-    if causal:
+    if causal or valid_len < s:
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        ok = cols <= rows
+        ok = cols <= rows if causal else cols >= 0
         if valid_len < s:
-            ok = jnp.logical_and(ok, cols < valid_len)
-        limit = jnp.where(ok, 60.0, -1e30).astype(jnp.float32)
-    elif valid_len < s:
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-        limit = jnp.where(cols < valid_len, 60.0, -1e30).astype(jnp.float32)
+            ok = jnp.logical_and(ok, jnp.logical_and(cols < valid_len,
+                                                     rows < valid_len))
+        limit = jnp.where(ok, 3e38, -1e30).astype(jnp.float32)
     else:
-        limit = jnp.float32(60.0)
+        limit = None
 
     outs = []
     for hh in range(h):
@@ -90,7 +102,9 @@ def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
             qh.astype(mm_dtype), kh.astype(mm_dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ex = jnp.exp(jnp.minimum(scores, limit))
+        sc = scores if limit is None else jnp.minimum(scores, limit)
+        m = jnp.maximum(jnp.max(sc, axis=-1, keepdims=True), 0.0)
+        ex = jnp.exp(sc - m)
         norm = jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-37)
         av = jax.lax.dot_general(                    # (S, D) unnormalized
             ex.astype(mm_dtype), vh.astype(mm_dtype),
@@ -114,7 +128,14 @@ def _mha_rows_int8_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
     zero-point-free. The softmax division is folded into the AV epilogue:
     ``out = sv * (exq @ v8 + cv*rowsum(exq)) / rowsum(exq)`` — the un-
     normalized exp weights are quantized to [0,127] directly and the
-    normalizer is applied once per (row, head) instead of over (S, S)."""
+    normalizer is applied once per (row, head) instead of over (S, S).
+
+    Tail-truncation bound: quantizing the row-max-anchored softmax weights
+    to [0, 127] zeroes any probability below ~1/254 of the row's max, so a
+    long flat tail loses its sub-0.4%-of-max mass (redistributed onto the
+    surviving keys by the rowsum normalizer). Aggregate output error stays
+    within int8 noise at ViT-length sequences — pinned by
+    ``test_int8_scores_long_sequence_tail`` (S=200) and the S=16 case."""
     h, d, e = num_heads, head_dim, embed
     x = x_ref[:]                                     # (S, 3E)
     s = x.shape[0]

@@ -28,36 +28,61 @@ _ICI_BYTES_PER_S = 90e9
 
 # async collectives appear as <op>-start / <op>-done pairs in optimized
 # HLO; counting the bare substring would double-count them, so the suffix
-# is captured and '-done' lines are skipped.
+# is captured and '-done' lines are skipped. The result type (everything
+# between '=' and the op name) may be a tuple — e.g. TPU all-reduce-start
+# returns (operand_alias, result) and multi-operand variants nest further —
+# so EVERY dtype[dims] group in it is parsed, not just the first.
 _COLLECTIVE_RE = re.compile(
-    r"=\s*\(?([a-z0-9]+)\[([\d,]*)\][^=]*?"
+    r"=\s*([^=]*?)\s*"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
     r"(-start|-done)?\("
 )
 
+_SHAPE_RE = re.compile(r"([a-z][a-z0-9]*)\[([\d,]*)\]")
+
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                 "s8": 1, "u8": 1, "s4": 0.5, "u4": 0.5, "pred": 1,
-                "f64": 8, "s64": 8, "s16": 2, "u16": 2}
+                "f64": 8, "s64": 8, "s16": 2, "u16": 2, "f8": 1,
+                "c64": 8, "c128": 16}
 
 
 def collective_stats(hlo_text: str) -> Dict[str, Any]:
     """Count GSPMD-inserted collectives and their payload bytes in an
-    optimized HLO module text."""
+    optimized HLO module text.
+
+    Tuple-shaped async starts: when the result tuple is the duplicated
+    in/out alias pattern ``(X..., X...)`` the payload is counted once, not
+    twice; any other structure counts every element (possible overcount is
+    preferred to silently understating traffic). Unrecognized dtypes fall
+    back to 4 bytes and are reported in ``unknown_dtypes`` so the artifact
+    reader can see when the byte figure is an estimate."""
     counts: Dict[str, int] = {}
     total_bytes = 0.0
+    unknown = set()
     for m in _COLLECTIVE_RE.finditer(hlo_text):
-        dtype, dims, op, suffix = m.group(1), m.group(2), m.group(3), m.group(4)
+        result_type, op, suffix = m.group(1), m.group(2), m.group(3)
         if suffix == "-done":
             continue  # the matching -start already counted this collective
         counts[op] = counts.get(op, 0) + 1
-        n = 1
-        for d in dims.split(","):
-            if d.strip().isdigit():
-                n *= int(d)
-        total_bytes += n * _DTYPE_BYTES.get(dtype, 4)
-    return {"collective_counts": counts,
-            "collective_bytes_per_step": total_bytes,
-            "est_ici_ms": total_bytes / _ICI_BYTES_PER_S * 1e3}
+        shapes = _SHAPE_RE.findall(result_type)
+        half = len(shapes) // 2
+        if (suffix == "-start" and len(shapes) % 2 == 0 and half
+                and shapes[:half] == shapes[half:]):
+            shapes = shapes[:half]  # (operand alias, result) duplication
+        for dtype, dims in shapes:
+            n = 1
+            for d in dims.split(","):
+                if d.strip().isdigit():
+                    n *= int(d)
+            if dtype not in _DTYPE_BYTES:
+                unknown.add(dtype)
+            total_bytes += n * _DTYPE_BYTES.get(dtype, 4)
+    out = {"collective_counts": counts,
+           "collective_bytes_per_step": total_bytes,
+           "est_ici_ms": total_bytes / _ICI_BYTES_PER_S * 1e3}
+    if unknown:
+        out["unknown_dtypes"] = sorted(unknown)
+    return out
 
 
 def _time_steps(fn, variables, x, iters: int, warmup: int = 2) -> float:

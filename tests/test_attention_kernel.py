@@ -142,6 +142,40 @@ def test_packed_attention_awq_weight_only(rng):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_mha_kernel_large_logits_exact(rng):
+    """Attention logits far above 60 (trained ViT/CLIP checkpoints produce
+    them in some heads) must yield the exact softmax, not a flattened or
+    zeroed row — the regression the round-4 fixed +60 clamp had, and the
+    regime where a per-(image, head) scalar shift zeroes whole rows (both
+    rejected variants are priced in the kernel docstring). With and without
+    pad-key masking."""
+    from quantize_tpu.ops.pallas.attention import mha_fused_qkv_rows
+
+    b, s, h, d, valid = 2, 40, 2, 64, 37
+    e = h * d
+    # sigma=6 entries: score std = 36*sqrt(64)/8 = 36 -> row maxima ~ 100+
+    qkv = (rng.normal(size=(b, valid, 3 * e)) * 6.0).astype(np.float32)
+    padded = np.zeros((b, s, 3 * e), np.float32)
+    padded[:, :valid] = qkv
+    padded[:, valid:] = 1e4                    # garbage pad rows stay inert
+    out = mha_fused_qkv_rows(jnp.asarray(padded.reshape(b * s, 3 * e)),
+                             h, s, valid_len=valid, int8_scores=False)
+    out = np.asarray(out).reshape(b, s, e)[:, :valid]
+    ref = np.asarray(_mha_ref(jnp.asarray(qkv), h, False, jnp.float32))
+    scores = np.einsum("bqd,bkd->bqk", qkv[..., :d], qkv[..., e:e + d]) / 8.0
+    assert scores.max() > 80, "test inputs must exercise the >60 regime"
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    # full-length (no masking) path as well
+    out2 = mha_fused_qkv_rows(
+        jnp.asarray(qkv[:, :32].reshape(b * 32, 3 * e)), h, 32,
+        int8_scores=False)
+    ref2 = np.asarray(_mha_ref(jnp.asarray(qkv[:, :32]), h, False,
+                               jnp.float32))
+    np.testing.assert_allclose(np.asarray(out2).reshape(b, 32, e), ref2,
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_int8_scores_variant_close_to_oracle(rng):
     """The selectable int8-scores kernel (QTPU_ATTN_INT8=1; measured-slower
     on v5e but kept for A/B — docs/BENCH_NOTES.md round 4): dynamic
@@ -160,3 +194,24 @@ def test_int8_scores_variant_close_to_oracle(rng):
             int8_scores=True), np.float32).reshape(B, S, E)[:, :valid]
         rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
         assert rel < 0.03, f"causal={causal}: rel err {rel:.4f}"
+
+
+def test_int8_scores_long_sequence_tail(rng):
+    """ViT-length sequences (S=200, valid 197) for the int8-scores variant:
+    probabilities below ~1/254 of the row max round to zero in the [0,127]
+    weight quantization, so long flat tails are truncated — assert the
+    aggregate error stays within the documented bound at real ViT shapes,
+    not just the short S=16 case."""
+    from quantize_tpu.ops.pallas.attention import (_mha_ref_rows,
+                                                   mha_fused_qkv_rows)
+
+    B, S, H, D, valid = 2, 200, 4, 64, 197
+    E = H * D
+    qkv = jnp.asarray(rng.normal(size=(B * S, 3 * E)).astype(np.float32))
+    ref = np.asarray(_mha_ref_rows(qkv, H, S, False, jnp.float32,
+                                   valid)).reshape(B, S, E)[:, :valid]
+    out = np.asarray(mha_fused_qkv_rows(
+        qkv, H, S, valid_len=valid, int8_scores=True),
+        np.float32).reshape(B, S, E)[:, :valid]
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, f"rel err {rel:.4f}"

@@ -65,3 +65,27 @@ def test_collective_stats_counts_async_pairs_once():
     s = collective_stats(hlo)
     assert s["collective_counts"] == {"all-reduce": 1, "all-gather": 1}
     assert s["collective_bytes_per_step"] == 8 * 16 * 4 + 4 * 32 * 2
+
+
+def test_collective_stats_tuple_shaped_starts():
+    """TPU all-reduce-start returns a tuple — (operand alias, result) for
+    one operand, concatenated halves for multi-operand variants. The alias
+    duplication must count once; distinct tuple elements must ALL count
+    (the round-4 parser took only the first element, understating
+    traffic); unknown dtypes are surfaced, not silently priced at 4B."""
+    hlo = """
+  %s0 = (f32[8,16]{1,0}, f32[8,16]{1,0}) all-reduce-start(f32[8,16]{1,0} %p0), replica_groups={}
+  %d0 = f32[8,16]{1,0} all-reduce-done(%s0)
+  %s1 = (bf16[4,8]{1,0}, u32[2]{0}, bf16[4,32]{1,0}, u32[2]{0}) all-gather-start(bf16[4,8]{1,0} %p1), dimensions={1}
+  %d1 = bf16[4,32]{1,0} all-gather-done(%s1)
+    """
+    s = collective_stats(hlo)
+    assert s["collective_counts"] == {"all-reduce": 1, "all-gather": 1}
+    # ar: aliased pair counts once; ag: no duplicated halves -> all 4 count
+    expected = 8 * 16 * 4 + (4 * 8 * 2 + 2 * 4 + 4 * 32 * 2 + 2 * 4)
+    assert s["collective_bytes_per_step"] == expected
+    assert "unknown_dtypes" not in s
+
+    s2 = collective_stats("%x = e5m2[16]{0} all-reduce(e5m2[16]{0} %p)")
+    assert s2["unknown_dtypes"] == ["e5m2"]
+    assert s2["collective_bytes_per_step"] == 16 * 4
