@@ -15,7 +15,7 @@ from ..utils.config import Config
 from ..utils.registry import Registry
 from . import mobilenet, resnet, vit, wideresnet
 from .clip import CLIP_MODELS
-from .testnet import TestCNN
+from .testnet import TestCNN, TrajNet
 
 MODELS = Registry("models")
 
@@ -43,6 +43,9 @@ MODELS.register_dict({
     "mobilenet_v3_large": mobilenet.mobilenet_v3_large,
     "mobilenet_v3_small": mobilenet.mobilenet_v3_small,
     "testcnn": lambda num_classes=10, ctx=None, **kw: TestCNN(
+        num_classes=num_classes, ctx=ctx or QuantCtx.fp32(), **kw
+    ),
+    "trajnet": lambda num_classes=10, ctx=None, **kw: TrajNet(
         num_classes=num_classes, ctx=ctx or QuantCtx.fp32(), **kw
     ),
 })

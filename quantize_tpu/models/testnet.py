@@ -14,6 +14,34 @@ from ..nn.layers import QuantConv, QuantDense
 from .resnet import _BN, _conv_kind
 
 
+class TrajNet(nn.Module):
+    """Mirror of the golden-trajectory fixture net
+    (``scripts/gen_golden_traj.py::TrajNet``): biased conv(3->8,s2) -> relu
+    -> conv(8->16,s2) -> relu -> GAP -> fc, no BN. The reference's
+    ``reconstruct`` maps exactly its three conv/linear modules to quant
+    modules (``modelzoo/reconstruct.py:106-117``); the plain relus mirror
+    the commented-out ReLU surgery (``:123-129``)."""
+
+    num_classes: int = 10
+    ctx: QuantCtx = QuantCtx.fp32()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: str = "fp32", train: bool = False) -> jnp.ndarray:
+        ctx = self.ctx
+        kind = _conv_kind(ctx)
+        x = QuantConv(8, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                      use_bias=True, quant=ctx.resolve("/conv1", kind),
+                      name="conv1")(x, mode=mode)
+        x = nn.relu(x)
+        x = QuantConv(16, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                      use_bias=True, quant=ctx.resolve("/conv2", kind),
+                      name="conv2")(x, mode=mode)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return QuantDense(self.num_classes, quant=ctx.resolve("/fc", "nn_linear"),
+                          name="fc")(x, mode=mode)
+
+
 class TestCNN(nn.Module):
     num_classes: int = 10
     width: int = 16

@@ -126,9 +126,13 @@ def adamw(schedule, cfg=None):
 
 @OPTIMIZERS.register(name="sgd")
 def sgd(schedule, cfg=None):
-    momentum = _get(cfg, "momentum", 0.9)
+    # momentum defaults to 0 like the reference (optim/optimizer.py:49-55
+    # passes `optim.momentum or 0` to torch.optim.SGD) — a config written
+    # for the reference must mean the same optimizer here
+    momentum = _get(cfg, "momentum", 0.0)
     wd = _get(cfg, "weight_decay", 0.0)
-    tx = optax.sgd(schedule, momentum=momentum, nesterov=bool(_get(cfg, "nesterov", False)))
+    tx = optax.sgd(schedule, momentum=momentum or None,
+                   nesterov=bool(_get(cfg, "nesterov", False)))
     if wd:
         tx = optax.chain(optax.add_decayed_weights(wd), tx)
     return tx

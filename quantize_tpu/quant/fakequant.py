@@ -9,8 +9,19 @@ gradients (``modelzoo/modules/quantizer.py:15-40``):
 Those are exactly the gradients of the *unrounded* expression
 ``v = x/scale - zero``, so on TPU we express rounding as
 ``v + stop_gradient(round(v) - v)`` and let autodiff produce identical
-gradients — no custom VJP needed for the core path. ``jnp.clip`` matches
-torch ``clamp``'s zero-gradient-outside-range behavior.
+gradients — no custom VJP needed for the core path.
+
+The clamp is NOT ``jnp.clip``: at an input exactly equal to qmin/qmax —
+which every minmax-calibrated channel's extreme element hits by
+construction — ``jnp.clip``'s min/max tie-breaking passes gradient 0.5
+while torch ``clamp`` passes 1.0. Through the dequant product rule that
+half-gradient turns into a spurious ``qmax/2``-sized scale-gradient term on
+the extreme element (the round-path ``-x/scale²`` no longer cancels the
+``+q`` term), which round 5's QAT golden-trajectory tier caught as 10-100x
+too-large scale grads on affected channels. ``ste_clamp`` below uses
+``where`` with strict inequalities so the boundary passes full gradient,
+exactly like torch ``clamp`` (``runner`` composition pinned by
+``tests/test_golden_traj.py``; unit-pinned in ``tests/test_fakequant.py``).
 """
 from __future__ import annotations
 
@@ -25,6 +36,13 @@ from .qspec import QuantSpec, broadcast_to_axis
 def ste_round(v: jnp.ndarray) -> jnp.ndarray:
     """Round with a straight-through (identity) gradient."""
     return v + jax.lax.stop_gradient(jnp.round(v) - v)
+
+
+def ste_clamp(q: jnp.ndarray, qmin: float, qmax: float) -> jnp.ndarray:
+    """``clamp`` with torch gradient semantics: gradient 1 anywhere inside
+    the range INCLUSIVE of the endpoints, 0 strictly outside. (``jnp.clip``
+    passes only 0.5 at an exact endpoint — see module docstring.)"""
+    return jnp.where(q > qmax, qmax, jnp.where(q < qmin, qmin, q))
 
 
 def ste_floor_plus(v: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +70,7 @@ def quantize_core(
     z = broadcast_to_axis(zero, x.ndim, channel_axis)
     v = x / s - z
     q = (round_fn or ste_round)(v)
-    return jnp.clip(q, qmin, qmax)
+    return ste_clamp(q, qmin, qmax)
 
 
 def dequantize_core(

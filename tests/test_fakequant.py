@@ -105,3 +105,41 @@ def test_matches_torch_fake_quant_oracle():
     ).numpy()
     # identical up to round-half tie behavior (ours: banker's; torch: round-half-to-even too)
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-6)
+
+
+def test_clamp_boundary_scale_gradient_matches_torch():
+    """The clamp boundary case every minmax-calibrated channel hits: the
+    extreme element sits EXACTLY at qmax. torch clamp passes gradient 1.0
+    there, so the reference's scale gradient at that element is
+    (q+z) - x/scale = 0; jnp.clip's 0.5 tie-gradient would instead leave a
+    spurious qmax/2 term (the round-5 QAT trajectory tier caught this as
+    10-100x inflated scale grads). Pins ste_clamp against the torch
+    autograd composition element by element."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(11)
+    x_np = rng.normal(size=(16,)).astype(np.float32)
+    scale_np = np.float32(np.abs(x_np).max() / 127.0)  # extreme at exactly 127
+
+    def ours_fn(scale):
+        return jnp.sum(fake_quant(jnp.asarray(x_np), scale,
+                                  jnp.asarray(0.0), -128, 127) * 1.0)
+
+    g_ours = jax.grad(ours_fn)(jnp.asarray(scale_np))
+
+    xs = torch.tensor(x_np)
+    scale_t = torch.tensor(scale_np, requires_grad=True)
+    v = xs / scale_t
+    q = (v.round() - v).detach() + v          # reference Round STE
+    out = (q.clamp(-128, 127)) * scale_t      # reference simulate
+    out.sum().backward()
+    np.testing.assert_allclose(np.asarray(g_ours), scale_t.grad.numpy(),
+                               rtol=1e-5, atol=1e-5)
+
+    # and the boundary element's own gradient contribution is ~0, not 63.5
+    def per_elem(scale):
+        return fake_quant(jnp.asarray(x_np), scale, jnp.asarray(0.0),
+                          -128, 127)
+
+    jac = jax.jacrev(per_elem)(jnp.asarray(scale_np))
+    ext = int(np.argmax(np.abs(x_np)))
+    assert abs(float(jac[ext])) < 1e-3, float(jac[ext])
