@@ -81,8 +81,17 @@ def deep_merge(dst: dict, src: Mapping) -> dict:
     * if both sides hold dicts, recurse — unless ``src[k]`` carries
       ``_delete_: true`` (drop the key entirely) or ``_replace_: true``
       (overwrite instead of merging);
-    * otherwise assign, stripping any spent markers.
+    * otherwise assign a DEEP COPY, stripping any spent markers. The copy
+      matters: assigning ``src``'s nested dicts by reference would let a
+      later merge into ``dst`` recurse into — and silently mutate — the
+      source tree. That exact aliasing once let a ``/conv1``-scoped
+      override leak into the shared ``default`` config for every layer
+      resolved afterwards (caught by the round-5 ACIQ network golden case;
+      pinned by ``test_config.py::test_merge_never_aliases_or_mutates_src``
+      and ``test_golden_models.py`` resnet18_aciq_act8).
     """
+    import copy
+
     for k, v in src.items():
         if k in dst and isinstance(v, dict) and isinstance(dst[k], dict):
             if v.get("_delete_"):
@@ -90,7 +99,7 @@ def deep_merge(dst: dict, src: Mapping) -> dict:
             elif v.get("_replace_"):
                 v = dict(v)
                 v.pop("_replace_")
-                dst[k] = v
+                dst[k] = copy.deepcopy(v)
             else:
                 deep_merge(dst[k], v)
         else:
@@ -98,7 +107,7 @@ def deep_merge(dst: dict, src: Mapping) -> dict:
                 if v.get("_delete_"):
                     continue
                 v = {kk: vv for kk, vv in v.items() if kk not in ("_delete_", "_replace_")}
-            dst[k] = v
+            dst[k] = copy.deepcopy(v)
     return dst
 
 

@@ -258,14 +258,19 @@ def dump_qparams(model):
 
     This is the decisive calibration-parity artifact: logits across
     frameworks carry rounding-boundary-flip noise, but calibrated ranges
-    see the SAME fp32 dataflow and must agree almost exactly."""
+    see the SAME fp32 dataflow and must agree almost exactly. AWQ
+    quantizers additionally record their searched pre-scale."""
     out = {}
     for path, m in model.named_modules():
         if isinstance(m, Quantizer) and getattr(m, "scale", None) is not None:
-            out[path] = {
+            rec = {
                 "scale": np.asarray(m.scale, np.float32).reshape(-1).tolist(),
                 "zero": np.asarray(m.zero, np.float32).reshape(-1).tolist(),
             }
+            if m.awq_scale is not None and m.awq_scale.numel() > 1:
+                rec["awq_scale"] = np.asarray(
+                    m.awq_scale.detach(), np.float32).reshape(-1).tolist()
+            out[path] = rec
     return out
 
 
@@ -311,8 +316,14 @@ def add(case, names, fp32, quant, qparams):
           f"max|fp32-quant|={d:.4g} n={fp32.size}")
 
 
-def resnet_case(name, quant_default, num_classes=10):
-    cfg = {"default": dict(quant_default)}
+def resnet_case(name, quant_default, num_classes=10, extra_cfg=None,
+                skip_q=None):
+    """``extra_cfg``: additional scoped config keys (path regexes or
+    nn_* kinds) merged next to 'default' — the reference's own scoping
+    machinery (reconstruct.py::parse_parameters) resolves them.
+    ``skip_q``: quantizer-name suffix whose n_bits>=32 bypass makes its
+    (reference-calibrated but inert) scale meaningless for parity."""
+    cfg = {"default": dict(quant_default), **(extra_cfg or {})}
     model = ResNet18(num_classes)
     x_shape = (4, 3, 64, 64)
     calib_seeds, eval_seed = [7001, 7002], 7010
@@ -320,13 +331,14 @@ def resnet_case(name, quant_default, num_classes=10):
                                           eval_seed, in_scale=0.5, in_loc=0.1)
     add({"case": name, "kind": "resnet18", "quant_cfg": cfg,
          "num_classes": num_classes, "x_shape": list(x_shape),
-         "in_scale": 0.5, "in_loc": 0.1,
+         "in_scale": 0.5, "in_loc": 0.1, "skip_q": skip_q,
          "calib_seeds": calib_seeds, "eval_seed": eval_seed},
         names, fp32, quant, qp)
 
 
-def mha_case(name, quant_default, d=32, h=4, m=64, depth=2, num_classes=10):
-    cfg = {"default": dict(quant_default)}
+def mha_case(name, quant_default, d=32, h=4, m=64, depth=2, num_classes=10,
+             extra_cfg=None, skip_q=None):
+    cfg = {"default": dict(quant_default), **(extra_cfg or {})}
     model = MHAStack(d, h, m, depth, num_classes)
     x_shape = (6, 2, d)  # (S, B, E) seq-first
     calib_seeds, eval_seed = [7101, 7102], 7110
@@ -335,6 +347,7 @@ def mha_case(name, quant_default, d=32, h=4, m=64, depth=2, num_classes=10):
     add({"case": name, "kind": "mha_stack", "quant_cfg": cfg,
          "d": d, "h": h, "m": m, "depth": depth, "num_classes": num_classes,
          "x_shape": list(x_shape), "in_scale": 1.0, "in_loc": 0.0,
+         "skip_q": skip_q,
          "calib_seeds": calib_seeds, "eval_seed": eval_seed},
         names, fp32, quant, qp)
 
@@ -437,6 +450,83 @@ mha_case("mha_stack_w8a8", {"weight": dict(W8), "activation": dict(A8),
                             "bn_folding": False})
 mha_case("mha_stack_w4a8", {"weight": dict(W8, n_bits=4),
                             "activation": dict(A8), "bn_folding": False})
+
+# -- round-5 estimator-breadth cases (r4 VERDICT item 7): the remaining
+# range estimators composed through the reference's own network pipeline,
+# each shaped after the reference's published recipe --------------------------
+A32 = {"n_bits": 32, "range": {"name": "minmax"}}
+W32 = {"n_bits": 32, "range": {"name": "minmax"}}
+
+# configs/runners/ptq/activation_quantize/aciq_layer.yaml: W32 + ACIQ
+# activations with fuse_relu, first conv scoped back to minmax. Layer
+# granularity: on this synthetic tree the reference's own channel-wise
+# ACIQ emits NaN scales (degenerate per-channel laplace stats) — the
+# channel variant is covered at the layer golden tier instead.
+resnet_case("resnet18_aciq_act8",
+            {"weight": dict(W32),
+             "activation": {"n_bits": 8, "symmetric": False,
+                            "granularity": "layer",
+                            "range": {"name": "aciq", "fuse_relu": True}},
+             "bn_folding": True},
+            extra_cfg={"/conv1": {"activation": {"range": {"name": "minmax",
+                                                           "fuse_relu": False}}}},
+            skip_q="w_quantizer")
+# configs/runners/ptq/cross_entropy/base.yaml: W8 MSE + maminmax
+# activations, linear layers scoped to the cross-entropy estimator.
+# REFERENCE BUG (documented in docs/PARITY.md): CrossEntropy.__call__
+# forwards to MSE.__call__ with (x, flag) while the signature is
+# (flag, x) — every reference run of this recipe crashes with
+# "'str' object has no attribute 'flatten'". The one-line shim below
+# restores the evident intent so the estimator's actual math (the
+# double-softmax CE grid search) can be golden-pinned.
+_ce_mod = sys.modules["refmz.modules.range.cross_entropy"]
+
+
+def _ce_call_fixed(self, flag, x, **kwargs):
+    assert self.granularity in ['L', 'Layer', 'layer']
+    assert flag == 'activation'
+    return _ce_mod.MSE.__call__(self, flag, x, **kwargs)
+
+
+_ce_mod.CrossEntropy.__call__ = _ce_call_fixed
+
+resnet_case("resnet18_ce_fc_act8",
+            {"weight": {"n_bits": 8, "symmetric": True, "signed": True,
+                        "granularity": "channel",
+                        "range": {"name": "mse", "maxshrink": 0.8,
+                                  "grid": 40, "norm": 2}},
+             "activation": {"n_bits": 8, "symmetric": False,
+                            "granularity": "layer",
+                            "range": {"name": "maminmax", "percentile": 0.0,
+                                      "momentum": 0.1}},
+             "bn_folding": True},
+            extra_cfg={"nn_linear": {"activation": {"range": {
+                "name": "cross_entropy", "percentile": 0.0, "momentum": 0.1,
+                "maxshrink": 0.8, "grid": 40}}}})
+# configs/runners/ptq/bias_correct/minmax_channel.yaml: weight-only W8 with
+# the EMA bias corrector, on both the CNN and the attention stack
+resnet_case("resnet18_biascorrect_w8",
+            {"weight": dict(W8), "activation": dict(A32),
+             "bn_folding": True, "bias_correct": {"momentum": 0.1}},
+            skip_q="a_quantizer")
+mha_case("mha_stack_biascorrect_w8",
+         {"weight": dict(W8), "activation": dict(A32),
+          "bn_folding": False, "bias_correct": {"momentum": 0.1}},
+         skip_q="a_quantizer")
+# configs/runners/ptq/awq/base.yaml: W4 MSE default, linear/attention
+# weights scoped to the AWQ grid search (grouped view)
+_AWQ_RANGE = {"name": "awq", "q_group_size": 16, "grid": 20,
+              "accumulate": False}
+mha_case("mha_stack_awq_w4",
+         {"weight": {"n_bits": 4, "symmetric": True, "signed": True,
+                     "granularity": "channel",
+                     "range": {"name": "mse", "maxshrink": 0.8, "grid": 40}},
+          "activation": dict(A32), "bn_folding": False},
+         extra_cfg={
+             "nn_linear": {"weight": {"range": dict(_AWQ_RANGE)}},
+             "nn_multiheadattention": {"weight": {"range": dict(_AWQ_RANGE)}},
+         },
+         skip_q="a_quantizer")
 
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
 with open(OUT, "w") as f:

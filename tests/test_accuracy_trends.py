@@ -172,3 +172,88 @@ def test_adaround_beats_nearest_rounding(trained_fp32):
 
     acc_ada = _accuracy(model, v, test, "quant")
     assert acc_ada >= acc_nearest - 1.0, f"adaround {acc_ada} vs nearest {acc_nearest}"
+
+
+def test_w2_cliff_layer_collapses_channel_survives(trained_fp32):
+    """The reference's most dramatic table behavior (BASELINE.md W2 rows):
+    at W2, per-layer minmax COLLAPSES toward chance while per-channel
+    survives with a large margin. Proxy measurements (deterministic seeds):
+    layer 11.3%, channel 40.2%, fp32 100%."""
+    model_fp, variables, train, test = trained_fp32
+    m_ch, v_ch = _calibrate_with_cfg(trained_fp32, quant_cfg(2, 32, w_gran="channel"))
+    m_ly, v_ly = _calibrate_with_cfg(trained_fp32, quant_cfg(2, 32, w_gran="layer"))
+    acc_ch = _accuracy(m_ch, v_ch, test, "quant")
+    acc_ly = _accuracy(m_ly, v_ly, test, "quant")
+    acc_fp = _accuracy(model_fp, variables, test, "fp32")
+    assert acc_ly <= 25.0, f"W2 per-layer should collapse, got {acc_ly}"
+    assert acc_fp - acc_ly >= 50.0, f"no W2 cliff: fp32 {acc_fp} vs layer {acc_ly}"
+    assert acc_ch >= acc_ly + 15.0, f"channel {acc_ch} vs layer {acc_ly}"
+
+
+def test_w2_mse_beats_minmax_strongly(trained_fp32):
+    """At W2 the MSE grid search's advantage over plain minmax is large
+    (proxy: 73.0 vs 40.2), unlike the near-tie at W8 — the low-bit regime
+    is where the reference's estimators actually differentiate."""
+    m_mm, v_mm = _calibrate_with_cfg(trained_fp32, quant_cfg(2, 32, w_range="minmax"))
+    m_gs, v_gs = _calibrate_with_cfg(trained_fp32, quant_cfg(2, 32, w_range="mse"))
+    model_fp, variables, train, test = trained_fp32
+    acc_mm = _accuracy(m_mm, v_mm, test, "quant")
+    acc_gs = _accuracy(m_gs, v_gs, test, "quant")
+    assert acc_gs >= acc_mm + 15.0, f"W2 mse {acc_gs} vs minmax {acc_mm}"
+
+
+def test_w2_adaround_recovers_cliff(trained_fp32):
+    """BASELINE.md: AdaRound holds 47.6% at W2 where nearest-rounding PTQ
+    collapses to 0.1 — the reference's headline low-bit result. Proxy:
+    adaround 88.7 vs nearest 40.2 at W2-channel (deterministic seeds)."""
+    import optax as _optax
+
+    from quantize_tpu.quant.adaround import beta_schedule, regularization
+
+    model_fp, variables, train, test = trained_fp32
+    W2 = quant_cfg(2, 32, w_gran="channel")
+    W2["default"]["weight"]["adaround"] = {"apply": True}
+    model = MODELS.build("testcnn", num_classes=10, ctx=QuantCtx(W2))
+
+    v = dict(variables)
+    v.pop("qobs", None)
+    v.pop("qparams", None)
+    x0 = jnp.asarray(train.images[:64])
+    _, upd = model.apply(v, x0, mode="calibrate", mutable=["qobs", "qparams"])
+    v = {**v, **upd}
+    acc_nearest = _accuracy(model, v, test, "quant")
+
+    _, upd = model.apply(v, x0, mode="init_adaround", mutable=["adaround"])
+    v = {**v, **upd}
+    tx = _optax.adam(1e-2)
+    opt_state = tx.init(v["adaround"])
+
+    @jax.jit
+    def ada_step(v_all, opt_state, x, beta):
+        _, upd = model.apply(v_all, x, mode="calibrate",
+                             mutable=["qobs", "qparams", "taps"])
+        fp_taps = jax.lax.stop_gradient(upd.pop("taps"))
+        v_all = {**v_all, "qobs": upd["qobs"], "qparams": upd["qparams"]}
+
+        def loss_fn(ada):
+            _, upd2 = model.apply({**v_all, "adaround": ada}, x, mode="quant",
+                                  mutable=["taps"])
+            recon = sum(jax.tree.leaves(jax.tree.map(
+                lambda q, o: jnp.mean((q - o) ** 2), upd2["taps"], fp_taps)))
+            reg = sum(regularization(t, beta) for t in jax.tree.leaves(ada))
+            return recon + 0.01 * reg
+
+        loss, grads = jax.value_and_grad(loss_fn)(v_all["adaround"])
+        updates, opt_state = tx.update(grads, opt_state, v_all["adaround"])
+        return {**v_all, "adaround": _optax.apply_updates(v_all["adaround"], updates)}, opt_state, loss
+
+    rng = np.random.default_rng(3)
+    total = 120
+    for it in range(total):
+        idx = rng.integers(0, len(train.images), 64)
+        beta = jnp.asarray(float(beta_schedule(it, total)), jnp.float32)
+        v, opt_state, _ = ada_step(v, opt_state, jnp.asarray(train.images[idx]), beta)
+
+    acc_ada = _accuracy(model, v, test, "quant")
+    assert acc_ada >= acc_nearest + 25.0, (
+        f"W2 adaround {acc_ada} should recover far above nearest {acc_nearest}")

