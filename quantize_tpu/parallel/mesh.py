@@ -58,12 +58,27 @@ def spec_for_variables(variables: Dict[str, Any], tp: int) -> Dict[str, Any]:
 
 
 def shard_variables(mesh: Mesh, variables: Dict[str, Any]) -> Dict[str, Any]:
-    """Place variables onto the mesh per the tensor-parallel rules."""
+    """Place variables onto the mesh per the tensor-parallel rules.
+
+    Multi-process: ``device_put`` cannot target non-addressable devices, so
+    leaves go through ``make_array_from_process_local_data``. Variables are
+    replicated (or model-sharded within a host) along every mesh axis that
+    crosses the process boundary in the supported layout (data axis =
+    process axis), so the process-local view of every leaf is the full
+    array and each host passes it whole."""
     tp = mesh.shape.get("model", 1)
     specs = spec_for_variables(variables, tp)
+
+    if jax.process_count() > 1:
+        def put(leaf, spec):
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), np.asarray(leaf))
+    else:
+        def put(leaf, spec):
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
     return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        variables, specs,
+        put, variables, specs,
         is_leaf=lambda x: isinstance(x, P) or not isinstance(x, dict),
     )
 

@@ -85,12 +85,16 @@ def collective_stats(hlo_text: str) -> Dict[str, Any]:
     return out
 
 
-def _time_steps(fn, variables, x, iters: int, warmup: int = 2) -> float:
+def _time_steps(fn, variables, x, iters: int, warmup: int = 2,
+                fetch=None) -> float:
     """Chained-input timing with a hard value fetch per iteration (the only
     scheme that stays within physical bounds on the remote-execution
-    runtime — see bench.py::_time)."""
+    runtime — see bench.py::_time). ``fetch`` overrides the sync (multi-
+    process outputs are not fully addressable, so the fetch must reduce to
+    a replicated scalar first)."""
     import jax.numpy as jnp
 
+    fetch = fetch or (lambda out: float(jnp.sum(out)))
     seed = jnp.float32(0.0)
 
     def step(sd):
@@ -99,11 +103,11 @@ def _time_steps(fn, variables, x, iters: int, warmup: int = 2) -> float:
 
     for _ in range(warmup):
         seed, out = step(seed)
-        float(jnp.sum(out))
+        fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         seed, out = step(seed)
-        float(jnp.sum(out))
+        fetch(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -130,6 +134,7 @@ def measure_scaling(
     from ..deploy import pack_model
     from ..models import MODELS
     from ..nn.intercept import QuantCtx
+    from .input_pipeline import host_slice, shard_batch_to_mesh
     from .mesh import make_mesh, shard_variables
 
     devices = devices if devices is not None else jax.devices()
@@ -164,21 +169,37 @@ def measure_scaling(
     t1 = _time_steps(fn, deploy, x1, iters)
 
     # -- N-device sharded run --------------------------------------------
+    # Multi-process: the same harness works across hosts — the global batch
+    # is assembled from per-host slices (input_pipeline.host_slice), the
+    # variables go through the make_array path in shard_variables, and the
+    # per-iteration sync reduces to a replicated scalar first (a multi-host
+    # output is not fully addressable). Supported layout: the 'data' axis
+    # spans the process boundary.
+    multiprocess = jax.process_count() > 1
     mesh = make_mesh(dp=dp, tp=tp, devices=devices)
-    xg = jnp.asarray(rng.normal(size=(per_device_batch * dp, image_size,
-                                      image_size, 3)).astype(np.float32))
+    xg_np = rng.normal(size=(per_device_batch * dp, image_size,
+                             image_size, 3)).astype(np.float32)
     deploy_sharded = shard_variables(mesh, deploy)
-    xg = jax.device_put(xg, NamedSharding(mesh, P("data", None, None, None)))
+    if multiprocess:
+        xg = shard_batch_to_mesh(mesh, host_slice({"img": xg_np}))["img"]
+        red = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)),
+                      out_shardings=NamedSharding(mesh, P()))
+        fetch = lambda out: float(np.asarray(red(out).addressable_data(0)))  # noqa: E731
+    else:
+        xg = jax.device_put(jnp.asarray(xg_np),
+                            NamedSharding(mesh, P("data", None, None, None)))
+        fetch = None
     # compile ONCE: the AOT executable serves both the HLO census and the
     # timed path (a pod-scale GSPMD compile can take minutes)
     compiled = fn.lower(deploy_sharded, xg).compile()
     stats = collective_stats(compiled.as_text())
-    tn = _time_steps(compiled, deploy_sharded, xg, iters)
+    tn = _time_steps(compiled, deploy_sharded, xg, iters, fetch=fetch)
 
     global_batch = per_device_batch * dp
     return {
         "model": model_name, "w_bits": w_bits,
         "mesh": {"data": dp, "model": tp}, "n_devices": n_used,
+        "n_processes": jax.process_count(),
         "platform": jax.devices()[0].platform,
         "per_device_batch": per_device_batch, "global_batch": global_batch,
         "image_size": image_size,
@@ -188,3 +209,89 @@ def measure_scaling(
         "weak_scaling_efficiency": t1 / tn,
         **stats,
     }
+
+
+_MP_WORKER = r"""
+import json, os, sys
+proc, nproc, port, devs, dp, tp = (int(sys.argv[1]), int(sys.argv[2]),
+                                   sys.argv[3], int(sys.argv[4]),
+                                   int(sys.argv[5]), int(sys.argv[6]))
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devs}"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=proc)
+from quantize_tpu.parallel.scaling import measure_scaling
+r = measure_scaling(model_name=sys.argv[7], w_bits=int(sys.argv[8]),
+                    per_device_batch=int(sys.argv[9]), dp=dp, tp=tp,
+                    image_size=int(sys.argv[10]), num_classes=16,
+                    iters=int(sys.argv[11]))
+if jax.process_index() == 0:
+    print("MPSCALING " + json.dumps(r), flush=True)
+else:
+    print("MPOK", flush=True)
+"""
+
+
+def run_multiprocess_scaling(
+    n_processes: int = 2,
+    devices_per_process: int = 4,
+    dp: Optional[int] = None,
+    tp: Optional[int] = None,
+    model_name: str = "resnet18",
+    w_bits: int = 8,
+    per_device_batch: int = 2,
+    image_size: int = 32,
+    iters: int = 2,
+    port: int = 57421,
+    timeout: float = 420.0,
+) -> Dict[str, Any]:
+    """Run ``measure_scaling`` across a REAL process boundary: spawns
+    ``n_processes`` workers that ``jax.distributed.initialize`` over
+    localhost with ``devices_per_process`` virtual CPU devices each, build
+    the global (dp x tp) mesh spanning both, and execute the identical
+    harness (per-host input slices, make-array variable placement, the
+    GSPMD census on the compiled multi-host HLO). Returns process 0's
+    result row. This is the DCN-ish rehearsal the pod artifact needs — the
+    single-process virtual mesh never crosses an ICI/DCN-like boundary.
+    """
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    dp = dp if dp is not None else n_processes
+    tp = tp if tp is not None else devices_per_process * n_processes // dp
+    with tempfile.TemporaryDirectory() as td:
+        script = os.path.join(td, "mp_scaling_worker.py")
+        with open(script, "w") as f:
+            f.write(_MP_WORKER)
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        env.pop("XLA_FLAGS", None)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        args = [str(devices_per_process), str(dp), str(tp), model_name,
+                str(w_bits), str(per_device_batch), str(image_size),
+                str(iters)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, script, str(i), str(n_processes),
+                 str(port), *args],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                env=env, text=True)
+            for i in range(n_processes)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"multiprocess scaling worker {i} failed:\n{out[-3000:]}")
+        line = next(l for l in outs[0].splitlines()
+                    if l.startswith("MPSCALING "))
+        return json.loads(line[len("MPSCALING "):])

@@ -89,3 +89,38 @@ def test_collective_stats_tuple_shaped_starts():
     s2 = collective_stats("%x = e5m2[16]{0} all-reduce(e5m2[16]{0} %p)")
     assert s2["unknown_dtypes"] == ["e5m2"]
     assert s2["collective_bytes_per_step"] == 16 * 4
+
+
+@needs_devices
+def test_measure_scaling_census_by_mesh_shape():
+    """The census must separate TP collectives from DP leakage: tp-heavy
+    meshes insert all-gathers for the out-channel-sharded packed weights,
+    while the dp-only row (test above) compiles to zero. More model
+    parallelism must not shrink the collective count."""
+    r_tp = measure_scaling(model_name="resnet18", w_bits=8,
+                           per_device_batch=2, dp=1, tp=4, image_size=32,
+                           num_classes=16, iters=2)
+    assert sum(r_tp["collective_counts"].values()) > 0
+    r_mix = measure_scaling(model_name="resnet18", w_bits=8,
+                            per_device_batch=2, dp=2, tp=2, image_size=32,
+                            num_classes=16, iters=2)
+    assert (sum(r_tp["collective_counts"].values())
+            >= sum(r_mix["collective_counts"].values()))
+
+
+@pytest.mark.slow
+def test_multiprocess_scaling_row(tmp_path):
+    """The scaling harness across a REAL process boundary (the DCN-ish
+    rehearsal): 2 spawned workers x 4 virtual devices run the identical
+    measure_scaling over a global (2x4) mesh; process 0's row must carry a
+    finite efficiency and the same TP collective census the single-process
+    mesh produces."""
+    from quantize_tpu.parallel import run_multiprocess_scaling
+
+    r = run_multiprocess_scaling(n_processes=2, devices_per_process=4,
+                                 dp=2, tp=4, port=57431)
+    assert r["n_processes"] == 2 and r["n_devices"] == 8
+    assert np.isfinite(r["weak_scaling_efficiency"])
+    assert r["weak_scaling_efficiency"] > 0
+    assert sum(r["collective_counts"].values()) > 0  # TP all-gathers
+    assert r["collective_bytes_per_step"] > 0
