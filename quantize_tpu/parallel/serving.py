@@ -39,12 +39,31 @@ class InferenceEngine:
         max_in_flight: int = 4,
         input_dtype=np.float32,
         preprocess=None,
+        postprocess=None,
+        frame_pool=None,
     ):
         """``input_dtype``/``preprocess``: ship compact pixels. uint8 images
         quarter the host->device ingress (the serving bottleneck both over
         PCIe and over remote tunnels); ``preprocess`` runs ON DEVICE inside
         the jitted forward (default: cast to f32; pass e.g. a normalize fn
-        taking and returning the batch)."""
+        taking and returning the batch).
+
+        ``postprocess``: runs ON DEVICE on the batch output inside the
+        jitted forward (e.g. ``lambda o: jnp.argmax(o, -1)`` for top-1).
+        Shrinking the per-request result payload matters: the drain
+        thread's device->host result fetch is the engine's dominant
+        overhead once ingress is out of the way (measured: full
+        1000-class logits cost ~3.9 ms/batch of fetch on this runtime —
+        docs/BENCH_NOTES.md round 5).
+
+        ``frame_pool``: a DEVICE-RESIDENT (P, H, W, C) array of frames.
+        When given, ``submit`` takes an int index into the pool instead of
+        an image; batch assembly gathers frames ON DEVICE and the host
+        ships only a (B,) int32 index vector per batch. This is the
+        deployment shape where frames arrive out-of-band (DMA/disaggregated
+        ingest) — and the measurement mode that isolates the engine's OWN
+        overhead (queuing, batching window, dispatch, drain) from ingress
+        bandwidth."""
         self.model = model
         self.variables = variables
         self.batch_size = int(batch_size)
@@ -70,9 +89,21 @@ class InferenceEngine:
         if preprocess is None:
             preprocess = lambda x: (x.astype(jnp.float32)  # noqa: E731
                                     if x.dtype != jnp.float32 else x)
-        self._forward = jax.jit(
-            lambda v, x: model.apply(v, preprocess(x), mode=mode)
-        )
+        if postprocess is None:
+            postprocess = lambda o: o  # noqa: E731
+        self.frame_pool = frame_pool
+        if frame_pool is not None:
+            self.input_dtype = np.dtype(np.int32)
+            self._forward = jax.jit(
+                lambda v, idx: postprocess(model.apply(
+                    v, preprocess(jnp.take(frame_pool, idx, axis=0)),
+                    mode=mode))
+            )
+        else:
+            self._forward = jax.jit(
+                lambda v, x: postprocess(model.apply(v, preprocess(x),
+                                                     mode=mode))
+            )
         self.n_processed = 0
         self.n_batches = 0
         self.n_failed = 0

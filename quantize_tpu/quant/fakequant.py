@@ -33,6 +33,30 @@ import jax.numpy as jnp
 from .qspec import QuantSpec, broadcast_to_axis
 
 
+_SIM_DTYPE = None  # None = compute fake-quant in the input dtype (f32)
+
+
+def set_quant_sim_dtype(dtype) -> None:
+    """Select the fake-quant arithmetic dtype for simulation/QAT forwards.
+
+    ``'bfloat16'`` runs the divide/round/clamp/dequant chain in bf16
+    (halving the VPU/HBM element width of the quantization passes that
+    dominate the QAT step's overhead — ``docs/BENCH_NOTES.md`` round 4).
+    Integer grids up to 8 bits are exact in bf16 (integers <= 256); the
+    ``x/scale`` quotient carries bf16's ~0.4% relative error, so rounding
+    decisions near grid midpoints can flip vs f32 — an accuracy/speed
+    trade measured in the round-5 QAT A/B. ``None``/``'float32'`` restores
+    exact f32 (the default; golden-trajectory parity is pinned in f32).
+    Packed/deploy quantization (``quantize_int``) is NOT affected."""
+    global _SIM_DTYPE
+    _SIM_DTYPE = (None if dtype in (None, "float32", "f32")
+                  else jnp.dtype(dtype))
+
+
+def quant_sim_dtype():
+    return _SIM_DTYPE
+
+
 def ste_round(v: jnp.ndarray) -> jnp.ndarray:
     """Round with a straight-through (identity) gradient."""
     return v + jax.lax.stop_gradient(jnp.round(v) - v)
@@ -107,6 +131,17 @@ def fake_quant(
     (the in-channel axis) before quantization and divided back afterwards
     (reference ``quantizer.py:209-220``).
     """
+    sd = _SIM_DTYPE
+    if (sd is not None and x.dtype == jnp.float32 and round_fn is None
+            and awq_scale is None):
+        # bf16 fake-quant arithmetic (set_quant_sim_dtype): cast in, run the
+        # whole chain narrow, cast back — scale/zero casts keep their STE
+        # gradient path. AdaRound rounding (round_fn) stays f32: its V
+        # optimization is a parity surface.
+        out16 = fake_quant(x.astype(sd), scale.astype(sd), zero.astype(sd),
+                           qmin, qmax, channel_axis,
+                           None if static_scale is None else static_scale.astype(sd))
+        return out16.astype(x.dtype)
     if awq_scale is not None:
         aws = broadcast_to_axis(awq_scale, x.ndim, awq_axis)
         x = x * aws

@@ -40,12 +40,18 @@ def main() -> None:
     n_total = int(os.environ.get("BENCH_SERVE_N", 4096))
     size = int(os.environ.get("BENCH_SIZE", 224))
 
+    feed = os.environ.get("BENCH_SERVE_FEED", "uint8")  # uint8 | device
+
     model, variables, deploy = bench._build_on_cpu(size, model_name, w_bits, 8)
     set_packed_carry_dtype("bfloat16")
 
     import jax
 
     deploy_dev = jax.device_put(deploy, jax.devices()[0])
+    if feed == "device":
+        _main_device_feed(bench, model, deploy_dev, model_name, w_bits,
+                          batch, n_total, size, default_batch)
+        return
     # uint8 pixel ingress + on-device dequant-normalize: quarters the
     # host->device payload, which IS the serving bottleneck (measured
     # ~35 MB/s fresh-buffer ingress through this environment's tunnel;
@@ -97,6 +103,102 @@ def main() -> None:
     }
     import bench
 
+    out_rec = bench.write_record(record, batch, headline_batch=default_batch)
+    print(json.dumps(out_rec))
+
+
+def _main_device_feed(bench, model, deploy_dev, model_name, w_bits, batch,
+                      n_total, size, default_batch) -> None:
+    """BENCH_SERVE_FEED=device: requests reference frames already resident
+    on device (the engine gathers them in-graph; the host ships only int32
+    indices), so the number measures the ENGINE's own overhead — queuing,
+    batching window, async dispatch, drain — not ingress bandwidth. The
+    same process also times the raw jitted forward on identical gathered
+    batches, and the record reports serving/raw as ``engine_efficiency``
+    (r4 VERDICT item 4: the number a pod deployment actually needs)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from quantize_tpu.parallel.serving import InferenceEngine
+
+    rng = np.random.default_rng(0)
+    pool = jax.device_put(
+        jnp.asarray(rng.normal(size=(64, size, size, 3)).astype(np.float32)),
+        jax.devices()[0])
+
+    in_flight = int(os.environ.get("BENCH_SERVE_INFLIGHT", 4))
+    # BENCH_SERVE_POST=top1: classify on device, fetch int32 labels only —
+    # isolates how much of the engine gap is result EGRESS (the full
+    # 1000-class logits cost ~3.9 ms/batch of drain fetch here)
+    post = (lambda o: jnp.argmax(o, -1))         if os.environ.get("BENCH_SERVE_POST") == "top1" else None
+    engine = InferenceEngine(model, deploy_dev, batch_size=batch,
+                             mode="packed", max_wait_ms=5.0,
+                             max_in_flight=in_flight, frame_pool=pool,
+                             postprocess=post)
+
+    # raw forward on the same gather + forward graph, K-chained (the
+    # bench.py methodology), same process so the ratio is drift-free.
+    # Sync per iteration via a hard fetch of an output slice — scalar-only
+    # fetches under-synchronize on this runtime (bench.py::_time)
+    k = int(os.environ.get("BENCH_K", 8))
+
+    @jax.jit
+    def raw_step(v, seed):
+        def body(c, _):
+            idx = (jax.lax.broadcasted_iota(jnp.int32, (batch,), 0)
+                   + c.astype(jnp.int32)) % 64
+            out = model.apply(v, jnp.take(pool, idx, axis=0), mode="packed")
+            return c + 1e-3 * jnp.tanh(jnp.mean(out).astype(jnp.float32)) + 1.0, out
+        c, outs = jax.lax.scan(body, seed, None, length=k)
+        return c, outs[-1]
+
+    def fetch(pair):
+        return np.asarray(pair[1][:1])
+
+    fetch(raw_step(deploy_dev, jnp.float32(0.0)))  # compile + warm
+    iters = 4
+    best = 1e9
+    for i in range(iters):
+        seed = jnp.float32(1.0 + i)
+        np.asarray(seed)
+        t0 = _time.perf_counter()
+        fetch(raw_step(deploy_dev, seed))
+        best = min(best, _time.perf_counter() - t0)
+    raw_img_s = batch * k / best
+
+    # engine warm-up (compile happens on first _forward)
+    warm_idx = jnp.asarray(np.arange(batch, dtype=np.int32) % 64)
+    np.asarray(engine._forward(engine.variables, warm_idx))
+
+    with engine:
+        futs = [engine.submit(i % 64) for i in range(batch)]
+        for f in futs:
+            f.result(timeout=900)
+        t0 = _time.perf_counter()
+        futs = [engine.submit(i % 64) for i in range(n_total)]
+        for f in futs:
+            f.result(timeout=600)
+        dt = _time.perf_counter() - t0
+    stats = engine.stats()
+    serve_img_s = n_total / dt
+
+    record = {
+        "metric": f"{model_name}_w{w_bits}a8_serving_device_feed",
+        "value": round(serve_img_s, 1),
+        "unit": "img/s/chip",
+        "batch_size": batch,
+        "raw_forward_img_s": round(raw_img_s, 1),
+        "engine_efficiency": round(serve_img_s / raw_img_s, 3),
+        "mean_batch_fill": round(stats["mean_batch_fill"], 3),
+        "max_in_flight_observed": engine.max_observed_in_flight,
+        "failed": stats["failed"],
+        "host_cores": os.cpu_count(),
+        "input": "device-resident pool (int32 indices)",
+        "max_in_flight": in_flight,
+        "postprocess": os.environ.get("BENCH_SERVE_POST", "none"),
+    }
     out_rec = bench.write_record(record, batch, headline_batch=default_batch)
     print(json.dumps(out_rec))
 

@@ -101,17 +101,71 @@ def bench_qat() -> None:
             float(loss)
         return (time.perf_counter() - t0) / iters
 
+    def loss_trajectory(model, variables, mode: str, steps: int = 5):
+        """Fixed-seed loss sequence (fidelity check for fake-quant dtype
+        A/Bs — same init, same synthetic batches)."""
+        tx = optax.adam(1e-4)
+        trainable_keys = [c for c in ("params", "qparams") if c in variables]
+        trainable = {c: variables[c] for c in trainable_keys}
+        opt_state = tx.init(trainable)
+
+        @jax.jit
+        def step(variables, opt_state, i):
+            ih = jax.lax.broadcasted_iota(jnp.float32, (batch, size, size, 3), 1)
+            iw = jax.lax.broadcasted_iota(jnp.float32, (batch, size, size, 3), 2)
+            img = ((ih * 7.1 + iw * 13.3) * 1e-3 + i * 1e-2) % 2.0 - 1.0
+            label = (jax.lax.iota(jnp.int32, batch) * 7 + i) % 1000
+            trainable = {c: variables[c] for c in trainable_keys}
+            frozen = {c: v for c, v in variables.items()
+                      if c not in trainable_keys}
+
+            def loss_fn(tr):
+                logits = model.apply({**frozen, **tr}, img, mode=mode)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, label).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt2 = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return {**frozen, **trainable}, opt2, loss
+
+        losses = []
+        for i in range(steps):
+            variables, opt_state, loss = step(variables, opt_state,
+                                              jnp.int32(i))
+            losses.append(float(loss))
+        return losses
+
     model_q, v_q = build(QuantCtx(_mk_cfg(wbits)))
     t_q = step_time(model_q, v_q, "quant")
+    tr_f32sim = loss_trajectory(model_q, v_q, "quant")
+
+    # A/B: bf16 fake-quant arithmetic (r4 VERDICT item 5) — same process,
+    # same model state, same synthetic batches; restore f32 afterwards
+    from quantize_tpu.quant.fakequant import set_quant_sim_dtype
+
+    set_quant_sim_dtype("bfloat16")
+    t_qb = step_time(model_q, v_q, "quant")
+    tr_bf16sim = loss_trajectory(model_q, v_q, "quant")
+    set_quant_sim_dtype(None)
+
     model_f, v_f = build(QuantCtx.fp32())
     t_f = step_time(model_f, v_f, "fp32")
 
+    fid = max(abs(a - b) / max(abs(a), 1e-9)
+              for a, b in zip(tr_f32sim, tr_bf16sim))
     print(json.dumps({
         "metric": f"{model_name}_w{wbits}a8_qat_train_step",
         "value": round(batch / t_q, 1), "unit": "img/s/chip",
         "vs_baseline": round(t_f / t_q, 3), "baseline_dtype": "f32-train",
         "detail": {"batch": batch, "image": size,
                    "quant_ms_per_step": round(t_q * 1e3, 2),
+                   "bf16sim_ms_per_step": round(t_qb * 1e3, 2),
+                   "bf16sim_img_per_s": round(batch / t_qb, 1),
+                   "bf16sim_vs_f32_train": round(t_f / t_qb, 3),
+                   "bf16sim_loss_max_rel_diff": round(fid, 5),
+                   "loss_f32sim": [round(v, 5) for v in tr_f32sim],
+                   "loss_bf16sim": [round(v, 5) for v in tr_bf16sim],
                    "fp32_ms_per_step": round(t_f * 1e3, 2),
                    "fp32_img_per_s": round(batch / t_f, 1)},
     }))

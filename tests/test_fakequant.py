@@ -143,3 +143,36 @@ def test_clamp_boundary_scale_gradient_matches_torch():
     jac = jax.jacrev(per_elem)(jnp.asarray(scale_np))
     ext = int(np.argmax(np.abs(x_np)))
     assert abs(float(jac[ext])) < 1e-3, float(jac[ext])
+
+
+def test_bf16_sim_dtype_close_and_restores():
+    """set_quant_sim_dtype('bfloat16'): the narrow fake-quant chain stays
+    within one grid step of the f32 result (bf16's ~0.4% quotient error can
+    flip rounding near midpoints), integer grids <= 8 bit stay exact where
+    no flip occurs, and None restores exact f32."""
+    from quantize_tpu.quant.fakequant import set_quant_sim_dtype
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    scale = jnp.asarray(np.abs(rng.normal(size=(32,))).astype(np.float32) * 0.01 + 0.001)
+    zero = jnp.zeros((32,))
+    f32_out = np.asarray(fake_quant(x, scale, zero, -128, 127))
+    try:
+        set_quant_sim_dtype("bfloat16")
+        b16_out = np.asarray(fake_quant(x, scale, zero, -128, 127))
+    finally:
+        set_quant_sim_dtype(None)
+    # each element within one grid step (midpoint flip) plus the bf16
+    # output-rounding envelope (~0.4% of magnitude from the dequant mul)
+    step = np.asarray(scale)[None, :]
+    bound = 1.02 * step + 0.005 * np.abs(f32_out) + 1e-6
+    assert (np.abs(b16_out - f32_out) <= bound).all()
+    # most elements unflipped. The flip probability scales with |x/scale|:
+    # bf16's ~0.4% relative quotient error is ~0.4 grid units at |v|~100,
+    # so 8-bit-magnitude grids see ~10% midpoint flips — the structural
+    # accuracy cost the QAT bf16-sim A/B prices (docs/BENCH_NOTES.md r5)
+    frac_same = (np.abs(b16_out - f32_out) <= 0.02 * step + 0.005 * np.abs(f32_out)).mean()
+    assert frac_same > 0.8, frac_same
+    # restored: exact f32 again
+    np.testing.assert_array_equal(
+        np.asarray(fake_quant(x, scale, zero, -128, 127)), f32_out)

@@ -135,3 +135,38 @@ def test_uint8_ingress_with_on_device_preprocess():
                      [im.astype(np.float32) / 128.0 - 1.0 for im in imgs8])]
     for a, b in zip(outs8, outsf):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_serving_device_resident_frame_pool():
+    """Device-feed mode (BENCH_SERVE_FEED=device): requests are int32
+    indices into a device-resident frame pool; the engine gathers frames
+    in-graph, so per-request results must equal the direct forward on the
+    gathered frames and the host never ships pixels."""
+    model, _, deploy = _packed_testcnn()
+    rng = np.random.default_rng(3)
+    pool = jnp.asarray(rng.normal(size=(6, 16, 16, 3)).astype(np.float32))
+    idxs = [int(i) for i in rng.integers(0, 6, 13)]
+
+    with InferenceEngine(model, deploy, batch_size=4, max_wait_ms=5.0,
+                         frame_pool=pool) as eng:
+        futs = [eng.submit(i) for i in idxs]
+        results = [f.result(timeout=60) for f in futs]
+
+    direct = np.asarray(model.apply(
+        deploy, jnp.take(pool, jnp.asarray(idxs), axis=0), mode="packed"))
+    np.testing.assert_allclose(np.stack(results), direct, rtol=1e-4, atol=1e-5)
+    assert eng.stats()["processed"] == 13
+
+
+def test_serving_on_device_postprocess():
+    """postprocess runs in-graph on the batch output (e.g. top-1): each
+    future resolves to the reduced per-request result."""
+    model, _, deploy = _packed_testcnn()
+    rng = np.random.default_rng(4)
+    images = [rng.normal(size=(16, 16, 3)).astype(np.float32) for _ in range(9)]
+    with InferenceEngine(model, deploy, batch_size=4, max_wait_ms=5.0,
+                         postprocess=lambda o: jnp.argmax(o, -1)) as eng:
+        results = [f.result(timeout=60) for f in eng.submit_many(images)]
+    direct = np.argmax(np.asarray(model.apply(
+        deploy, jnp.asarray(np.stack(images)), mode="packed")), -1)
+    np.testing.assert_array_equal(np.asarray(results), direct)
