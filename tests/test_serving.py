@@ -170,3 +170,32 @@ def test_serving_on_device_postprocess():
     direct = np.argmax(np.asarray(model.apply(
         deploy, jnp.asarray(np.stack(images)), mode="packed")), -1)
     np.testing.assert_array_equal(np.asarray(results), direct)
+
+
+def test_serving_device_feed_on_mesh():
+    """Device-feed serving on a (data=4) mesh: the int32 index batch shards
+    on 'data', the frame pool is mesh-replicated, and per-request results
+    still match the direct forward — the multi-chip pod serving shape."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 (virtual) devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, _, deploy = _packed_testcnn()
+    mesh = make_mesh(dp=4, tp=1)
+    rng = np.random.default_rng(5)
+    pool = jax.device_put(
+        jnp.asarray(rng.normal(size=(6, 16, 16, 3)).astype(np.float32)),
+        NamedSharding(mesh, P()))
+    deploy_mesh = jax.device_put(
+        deploy, NamedSharding(mesh, P()))
+    idxs = [int(i) for i in rng.integers(0, 6, 12)]
+
+    with InferenceEngine(model, deploy_mesh, batch_size=4, max_wait_ms=5.0,
+                         mesh=mesh, frame_pool=pool) as eng:
+        results = [f.result(timeout=60) for f in (eng.submit(i) for i in idxs)]
+
+    direct = np.asarray(model.apply(
+        deploy, jnp.take(pool, jnp.asarray(idxs), axis=0), mode="packed"))
+    np.testing.assert_allclose(np.stack(results), direct, rtol=1e-4, atol=1e-5)
