@@ -43,74 +43,89 @@ def _cdiv(a: int, b: int) -> int:
 def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
                      embed: int, scale: float, causal: bool,
                      valid_len: int):
-    """bf16-scores kernel, VPU-lean softmax, exact for ANY logit magnitude.
+    """bf16-scores kernel: ALL-HEADS batched softmax, exact for any logits.
 
     Round-4 measurement showed this kernel is VPU-bound, not MXU-bound: the
-    12 (S, S) softmaxes are ~0.45 of its ~0.6 ms at ViT-B/16 shapes, the
-    MXU dots only ~0.15 (``docs/BENCH_NOTES.md`` round 4). The softmax
-    keeps its per-element pass count over (S, S) minimal:
+    softmax passes dominate (~0.45 of ~0.6 ms at ViT-B/16 shapes), and
+    round-5 profiling showed WHY: per-head (S, S) arrays are only ~40k
+    elements, so each of the 12 heads' mask/exp/reduce passes is mostly
+    per-pass overhead, not element throughput. The round-5 redesign stacks
+    every head's scores on the ROW axis — ``sc_all`` is (H*S, S) — so the
+    mask, the per-row max reduce, the exp, and the sum reduce each run ONCE
+    over 12x the elements. Same-process K-delta at ViT-B/16 b128 shapes:
 
-    * pad/causal masking is ONE ``min(scores, limit)`` where ``limit`` is a
-      precomputed (1, S) / (S, S) vector that is +3e38 (a no-op for finite
-      scores) on attendable keys and -1e30 on masked entries; when pad rows
-      exist it masks pad *query* rows too, keeping garbage rows inert;
-    * stability is the classic per-row max shift ``exp(sc - relu(m))`` —
-      the subtract fuses into the exp pass, so its cost over an
-      unprotected exp is one (S, S) -> (S, 1) max reduce. The round-5
-      bake-off (same-process K-delta, ViT-B/16 b128 shapes) priced the
-      alternatives: round-4's fixed +60 clamp 0.56 ms/dispatch, a
-      per-(image, head) scalar shift 0.62, per-row 0.71. The cheaper two
-      are gone for correctness, not speed: trained ViT/CLIP checkpoints
-      exceed logit 60 in some heads, which the fixed clamp silently
-      flattened, and the scalar shift zeroes out any row whose own max
-      sits > ~87 (f32 exp underflow) below the head's global max — a
-      reachable regime (``test_mha_kernel_large_logits_exact`` covers
-      score maxima > 80 and fails the scalar-shift variant at 1.3%
-      mismatched elements);
-    * the 1/sum normalization moves off the (S, S) probability matrix onto
-      the (S, D) AV *output* rows — the AV dot runs on unnormalized
-      ``exp`` weights and ``sum(ex)`` feeds a per-(row, head) divide.
+    * round-4 fixed +60 clamp (silently flattens rows with logits > 60 —
+      trained checkpoints hit this; REJECTED for correctness): 0.56 ms
+    * per-head-loop softmax + exact per-row max: 0.71 ms
+    * THIS kernel (batched softmax + exact per-row max): **0.55 ms** —
+      exactness now costs nothing; it beats the broken clamp variant.
 
-    ``relu(m)`` (not ``m``) keeps fully-masked rows finite: their max is
-    -1e30 and subtracting it would overflow; with relu they underflow to
-    zeros and the ``norm`` guard avoids NaN (pad rows are discarded by the
-    caller). For a negative true max the shift is 0 and every ``exp``
-    argument is already <= 0 — softmax is shift-invariant per row, so the
-    result is exact either way."""
+    Exactness: stability is the classic per-row max shift
+    ``exp(sc - relu(m))`` with ``m`` the true masked row max (rows of
+    ``sc_all`` are (head, query) pairs — softmax is per-row, so row-axis
+    stacking changes nothing). ``relu(m)`` keeps fully-masked pad rows
+    finite (their max is -1e30; with relu they underflow to zeros and the
+    ``norm`` guard avoids NaN — pad rows are discarded by the caller).
+    Masking is ONE ``min(sc_all, limit)``: +3e38 (no-op) on attendable
+    keys, -1e30 on pad/causal-masked entries, (1, S) broadcast in the
+    valid-len case and a (H*S, S)-consistent row-pattern (built from
+    ``iota % S``) in the causal case. The 1/sum normalization stays on the
+    (S, D) AV output rows, never on (S, S)."""
     h, d, e = num_heads, head_dim, embed
     x = x_ref[:]                                     # (S, 3E)
     s = x.shape[0]
     mm_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
 
-    if causal or valid_len < s:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        ok = cols <= rows if causal else cols >= 0
-        if valid_len < s:
-            ok = jnp.logical_and(ok, jnp.logical_and(cols < valid_len,
-                                                     rows < valid_len))
-        limit = jnp.where(ok, 3e38, -1e30).astype(jnp.float32)
-    else:
-        limit = None
+    # heads per softmax group: as many as keep the two stacked (G*S, S)
+    # f32 buffers within ~6 MB of VMEM (ViT-B: all 12; ViT-H: 8+8)
+    g_max = max(1, int(6 * 1024 * 1024 // (2 * 4 * s * s)))
 
-    outs = []
-    for hh in range(h):
-        qh = (x[:, hh * d:(hh + 1) * d].astype(jnp.float32) * scale)
-        kh = x[:, e + hh * d:e + (hh + 1) * d]
-        vh = x[:, 2 * e + hh * d:2 * e + (hh + 1) * d]
-        scores = jax.lax.dot_general(                # (S, S) f32
-            qh.astype(mm_dtype), kh.astype(mm_dtype),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        sc = scores if limit is None else jnp.minimum(scores, limit)
-        m = jnp.maximum(jnp.max(sc, axis=-1, keepdims=True), 0.0)
-        ex = jnp.exp(sc - m)
-        norm = jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-37)
-        av = jax.lax.dot_general(                    # (S, D) unnormalized
-            ex.astype(mm_dtype), vh.astype(mm_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        outs.append(av / norm)
+    def group_limit(g):
+        if causal:
+            # (G*S, S) mask pattern: row r is query (r % S) of some head
+            rows = jax.lax.broadcasted_iota(jnp.int32, (g * s, s), 0) % s
+            cols = jax.lax.broadcasted_iota(jnp.int32, (g * s, s), 1)
+            ok = cols <= rows
+            if valid_len < s:
+                ok = jnp.logical_and(ok, jnp.logical_and(cols < valid_len,
+                                                         rows < valid_len))
+            return jnp.where(ok, 3e38, -1e30).astype(jnp.float32)
+        if valid_len < s:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+            return jnp.where(cols < valid_len, 3e38,
+                             -1e30).astype(jnp.float32)
+        return None
+
+    limits = {}
+    outs = [None] * h
+    for h0 in range(0, h, g_max):
+        heads = range(h0, min(h0 + g_max, h))
+        g = len(heads)
+        scs = []
+        for hh in heads:
+            qh = (x[:, hh * d:(hh + 1) * d].astype(jnp.float32) * scale)
+            kh = x[:, e + hh * d:e + (hh + 1) * d]
+            scs.append(jax.lax.dot_general(          # (S, S) f32
+                qh.astype(mm_dtype), kh.astype(mm_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        sc_all = scs[0] if g == 1 else jnp.concatenate(scs, axis=0)
+        if g not in limits:
+            limits[g] = group_limit(g)
+        if limits[g] is not None:
+            sc_all = jnp.minimum(sc_all, limits[g])
+        m = jnp.maximum(jnp.max(sc_all, axis=-1, keepdims=True), 0.0)
+        ex_all = jnp.exp(sc_all - m)
+        norm = jnp.maximum(jnp.sum(ex_all, axis=-1, keepdims=True), 1e-37)
+
+        for gi, hh in enumerate(heads):
+            vh = x[:, 2 * e + hh * d:2 * e + (hh + 1) * d]
+            av = jax.lax.dot_general(                # (S, D) unnormalized
+                ex_all[gi * s:(gi + 1) * s].astype(mm_dtype),
+                vh.astype(mm_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs[hh] = av / norm[gi * s:(gi + 1) * s]
     o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
@@ -220,11 +235,14 @@ def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
     if int8_scores is None:
         int8_scores = _int8_scores_default()
     itemsize = jnp.dtype(qkv.dtype).itemsize
-    # VMEM budget: input block + f32 head slices + (S, S) f32 scores +
-    # f32 out concat. ~12 MB of the ~16 MB/core VMEM, else jnp fallback.
+    # VMEM budget: input block + f32 head slices + the grouped stacked
+    # (G*S, S) scores + exp buffers (the kernel caps the group's buffers
+    # at ~6 MB itself) + f32 out concat. ~12 MB of the ~16 MB/core VMEM,
+    # else jnp fallback.
+    g_eff = min(num_heads, max(1, int(6 * 1024 * 1024 // (2 * 4 * s * s))))
     vmem_est = (s * three_e * itemsize          # input rows
                 + 3 * s * d * 4                 # qh/kh/vh f32
-                + 2 * s * s * 4                 # scores + softmax f32
+                + 2 * g_eff * s * s * 4         # sc_all + ex_all f32
                 + s * e * (4 + itemsize))       # out concat + store
     if d % 8 != 0 or s % 8 != 0 or vmem_est > 12 * 1024 * 1024:
         return _mha_ref_rows(qkv, num_heads, s, causal, out_dtype, valid)
