@@ -185,11 +185,12 @@ class InferenceEngine:
                 imgs = np.concatenate([imgs, pad])
             x = jnp.asarray(imgs)
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                # multi-host aware placement: each host's engine feeds its
+                # slice of the global batch (the per-host feeder pattern);
+                # single-process this is a plain sharded device_put
+                from .input_pipeline import shard_batch_to_mesh
 
-                x = jax.device_put(
-                    x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1))))
-                )
+                x = shard_batch_to_mesh(self.mesh, {"img": imgs})["img"]
             try:
                 # Async dispatch: returns immediately with a device array;
                 # the drain thread materializes it. Next batch assembly
