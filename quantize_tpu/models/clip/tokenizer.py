@@ -8,9 +8,11 @@ the user (``CLIP_BPE_PATH`` env var or explicit path) — this environment has
 no network egress and vendored data is not copied from the reference. A
 deterministic hash tokenizer stands in for tests when no vocab is present.
 
-``ftfy`` is unavailable here; text cleanup falls back to NFKC normalization
-+ whitespace collapse, which matches ftfy's output on ASCII prompts (the
-only text the zero-shot pipeline generates).
+``ftfy`` (a third-party package) is replaced by :mod:`.textfix`, a
+stdlib-only equivalent of ``ftfy.fix_text``'s default pipeline (mojibake
+repair, ligatures, fullwidth folding, curly quotes, NFC), so non-ASCII
+classnames clean — and therefore tokenize — the same way they would under
+the reference's ``basic_clean`` (``simple_tokenizer.py:50-53``).
 """
 from __future__ import annotations
 
@@ -18,11 +20,12 @@ import gzip
 import html
 import os
 import re
-import unicodedata
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from .textfix import fix_text
 
 CONTEXT_LENGTH = 77
 
@@ -42,8 +45,8 @@ def bytes_to_unicode() -> Dict[int, str]:
 
 
 def basic_clean(text: str) -> str:
+    text = fix_text(text)
     text = html.unescape(html.unescape(text))
-    text = unicodedata.normalize("NFKC", text)
     return text.strip()
 
 
