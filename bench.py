@@ -216,6 +216,7 @@ def main() -> None:
     packed_step = make_step("packed")
     t_packed = _time(packed_step, deploy_dev, iters)
     img_s = batch * max(k_per_dispatch, 1) / t_packed
+    base_img_s = None
 
     # Baseline: the same model's unquantized forward at BENCH_BASELINE_DTYPE.
     # bf16 is the honest practitioner baseline on TPU (any serving deployment
@@ -235,6 +236,33 @@ def main() -> None:
             base_step = make_step("fp32")
         variables_dev = jax.device_put(base_vars, dev)
         t_base = _time(base_step, variables_dev, iters)
+        base_img_s = batch * max(k_per_dispatch, 1) / t_base
+
+        # Tunnel-degradation retry: the execution tunnel occasionally
+        # collapses for a window (observed: the SAME binary measuring 185
+        # img/s against a same-window baseline of 110 — both ~25x below
+        # record). The baseline forward is the canary: identical code and
+        # chip every run, so if it lands far below the last recorded
+        # baseline the WINDOW is bad, not the build. Re-time once (cheap:
+        # everything is compiled) and keep the healthier pair.
+        hb = headline_batch_for(model_name)
+        prev = _read_latest_record(
+            f"{model_name}_w{w_bits}a{a_bits}_packed_inference",
+            suffix="" if batch == hb else f"_b{batch}")
+        prev_base = (prev or {}).get("baseline_img_per_s")
+        if prev_base and base_img_s < 0.6 * prev_base:
+            import sys
+
+            print(f"bench: degraded window (baseline {base_img_s:.0f} vs "
+                  f"recorded {prev_base:.0f} img/s); re-timing once",
+                  file=sys.stderr)
+            time.sleep(10.0)
+            t_packed2 = _time(packed_step, deploy_dev, iters)
+            t_base2 = _time(base_step, variables_dev, iters)
+            if batch * max(k_per_dispatch, 1) / t_base2 > base_img_s:
+                t_packed, t_base = t_packed2, t_base2
+                img_s = batch * max(k_per_dispatch, 1) / t_packed
+                base_img_s = batch * max(k_per_dispatch, 1) / t_base
         vs = round(t_base / t_packed, 3)
 
     record = {
@@ -244,6 +272,8 @@ def main() -> None:
         "vs_baseline": vs,
         "baseline_dtype": baseline_dtype if run_baseline else None,
     }
+    if base_img_s is not None:
+        record["baseline_img_per_s"] = round(base_img_s, 1)
     # Attach the other headline metric (ViT-B/16 W4A8) when a measurement
     # exists (scripts/bench_vit.py writes results/BENCH_VIT_r*.json). That
     # number is REPLAYED from the newest saved file, not measured by this
@@ -267,13 +297,23 @@ def main() -> None:
             record["secondary_cached_from"] = os.path.relpath(vit_paths[-1], here)
         except Exception:
             pass
-    write_record(record, batch,
-                 headline_batch=headline_batch_for(model_name))
+    record = write_record(record, batch,
+                          headline_batch=headline_batch_for(model_name))
     print(json.dumps(record))
 
 
 def headline_batch_for(model_name: str) -> int:
     return 128 if model_name.startswith(("vit", "clip")) else 256
+
+
+def _read_latest_record(metric: str, suffix: str = "") -> "dict | None":
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "results", f"BENCH_{metric}{suffix}_latest.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def write_record(record: dict, batch: int, headline_batch: int) -> dict:
@@ -295,9 +335,21 @@ def write_record(record: dict, batch: int, headline_batch: int) -> dict:
                    timestamp=time.strftime("%Y-%m-%dT%H:%M:%S"))
     suffix = "" if batch == headline_batch else f"_b{batch}"
     os.makedirs(os.path.join(here, "results"), exist_ok=True)
-    with open(os.path.join(
-            here, "results",
-            f"BENCH_{record['metric']}{suffix}_latest.json"), "w") as f:
+    # Degraded-window guard: if this run's bf16-baseline canary (identical
+    # code every run) still collapsed vs the stored record's after the
+    # retry, park the measurement in a _degraded side file instead of
+    # clobbering the headline record the driver's secondary lookup replays.
+    # Applies only when BOTH records carry the canary; never compares the
+    # headline value itself, so it cannot cherry-pick good packed numbers.
+    prev = _read_latest_record(record["metric"], suffix)
+    nb, pb = out_rec.get("baseline_img_per_s"), (prev or {}).get("baseline_img_per_s")
+    degraded = bool(nb and pb and nb < 0.6 * pb)
+    name = f"BENCH_{record['metric']}{suffix}_latest.json"
+    if degraded:
+        out_rec["degraded_window"] = True
+        out_rec["recorded_baseline_img_per_s"] = pb
+        name = f"BENCH_{record['metric']}{suffix}_degraded_latest.json"
+    with open(os.path.join(here, "results", name), "w") as f:
         json.dump(out_rec, f, indent=1)
     return out_rec
 
