@@ -72,9 +72,18 @@ class InferenceEngine:
         self.input_dtype = np.dtype(input_dtype)
         self.max_wait_s = max_wait_ms / 1e3
         # Bounded request queue: submit() blocks when full (backpressure).
-        self._queue: "queue.Queue[tuple[np.ndarray, Future]]" = queue.Queue(
+        # Entries are CHUNKS ``(imgs[n, ...], sinks)`` where each sink is
+        # ``(future, n_requests)`` — one lock round-trip per chunk, not per
+        # request. ``submit`` puts chunks of one; ``submit_many`` stacks up
+        # to ``batch_size`` requests per entry with per-request futures;
+        # ``submit_batch`` additionally collapses a whole chunk onto ONE
+        # future resolving to the stacked results (measured: per-request
+        # queue ops and Future churn were the engine's limiter past ~5k
+        # req/s on a 2-core GIL-contended host — BENCH_NOTES r5).
+        self._queue: "queue.Queue[tuple[np.ndarray, List[tuple]]]" = queue.Queue(
             maxsize=int(max_queue)
         )
+        self._pending: List[tuple] = []  # dispatch-thread-only chunk buffer
         # Bounded in-flight queue between dispatch and drain: the dispatch
         # thread enqueues un-materialized device arrays (JAX async dispatch)
         # and immediately assembles the next batch; the drain thread blocks
@@ -138,11 +147,37 @@ class InferenceEngine:
     # -- client API -------------------------------------------------------
     def submit(self, image: np.ndarray) -> Future:
         fut: Future = Future()
-        self._queue.put((np.asarray(image, self.input_dtype), fut))
+        self._queue.put((np.asarray(image, self.input_dtype)[None],
+                         [(fut, 1)]))
         return fut
 
     def submit_many(self, images: Sequence[np.ndarray]) -> List[Future]:
-        return [self.submit(im) for im in images]
+        """Batch submission: one queue entry (and one host stack) per up-to-
+        ``batch_size`` requests instead of per request. Still one Future per
+        request. ``images`` may be a sequence of arrays or one stacked array
+        with a leading request axis."""
+        arr = np.asarray(images, self.input_dtype)
+        futs: List[Future] = [Future() for _ in range(len(arr))]
+        for lo in range(0, len(arr), self.batch_size):
+            hi = min(lo + self.batch_size, len(arr))
+            self._queue.put((arr[lo:hi], [(f, 1) for f in futs[lo:hi]]))
+        return futs
+
+    def submit_batch(self, images) -> List[Future]:
+        """Batch submission with batch RESULTS: each returned future covers
+        one chunk of up to ``batch_size`` requests and resolves to the
+        stacked ``(n, ...)`` results (the caller slices). Removes the
+        per-request Future create/set_result/result() churn entirely — the
+        high-throughput client API (a frontend holding many requests calls
+        this; per-stream clients use :meth:`submit`)."""
+        arr = np.asarray(images, self.input_dtype)
+        futs: List[Future] = []
+        for lo in range(0, len(arr), self.batch_size):
+            hi = min(lo + self.batch_size, len(arr))
+            fut: Future = Future()
+            futs.append(fut)
+            self._queue.put((arr[lo:hi], [(fut, hi - lo)]))
+        return futs
 
     def stats(self) -> Dict[str, float]:
         return {
@@ -154,32 +189,60 @@ class InferenceEngine:
         }
 
     # -- server loop ------------------------------------------------------
-    def _collect(self) -> List[tuple]:
-        """Block for the first request, then drain up to batch_size within
-        the batching window."""
-        items: List[tuple] = []
-        try:
-            items.append(self._queue.get(timeout=0.05))
-        except queue.Empty:
-            return items
-        deadline = time.perf_counter() + self.max_wait_s
-        while len(items) < self.batch_size:
-            remaining = deadline - time.perf_counter()
-            if remaining <= 0:
-                break
+    def _collect(self) -> "tuple[List[tuple], int]":
+        """Assemble up to ``batch_size`` requests from leftover chunks and
+        the queue (blocking briefly for the first chunk, then draining
+        within the batching window). Returns ``(chunks, n_requests)``;
+        overflow beyond ``batch_size`` is split and kept for the next batch."""
+        pieces = self._pending
+        self._pending = []
+        total = sum(n for _, sinks in pieces for _, n in sinks)
+        if total == 0:
             try:
-                items.append(self._queue.get(timeout=remaining))
+                c = self._queue.get(timeout=0.05)
             except queue.Empty:
-                break
-        return items
+                return pieces, 0
+            pieces.append(c)
+            total += sum(n for _, n in c[1])
+        if total < self.batch_size:
+            deadline = time.perf_counter() + self.max_wait_s
+            while total < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    c = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                pieces.append(c)
+                total += sum(n for _, n in c[1])
+        if total > self.batch_size:
+            imgs, sinks = pieces.pop()
+            n_last = sum(n for _, n in sinks)
+            if all(n == 1 for _, n in sinks):
+                # per-request sinks split cleanly at the batch boundary
+                keep = n_last - (total - self.batch_size)
+                pieces.append((imgs[:keep], sinks[:keep]))
+                self._pending = [(imgs[keep:], sinks[keep:])]
+                total = self.batch_size
+            else:
+                # a batch-result sink cannot be split mid-future: defer the
+                # whole piece (this batch dispatches underfilled; padding
+                # handles it). submit_batch chunks at batch_size, so this
+                # only triggers when batches interleave mid-chunk.
+                self._pending = [(imgs, sinks)]
+                total -= n_last
+        return pieces, total
 
     def _loop(self) -> None:
-        while not self._stop.is_set() or not self._queue.empty():
-            items = self._collect()
-            if not items:
+        while (not self._stop.is_set() or not self._queue.empty()
+               or self._pending):
+            pieces, n = self._collect()
+            if n == 0:
                 continue
-            n = len(items)
-            imgs = np.stack([im for im, _ in items])
+            imgs = (pieces[0][0] if len(pieces) == 1
+                    else np.concatenate([p[0] for p in pieces]))
+            sinks = [s for _, ss in pieces for s in ss]
             if n < self.batch_size:
                 pad = np.zeros((self.batch_size - n, *imgs.shape[1:]), imgs.dtype)
                 imgs = np.concatenate([imgs, pad])
@@ -199,9 +262,9 @@ class InferenceEngine:
                 self.max_observed_in_flight = max(
                     self.max_observed_in_flight, self._inflight.qsize() + 1
                 )
-                self._inflight.put((out, items))
+                self._inflight.put((out, sinks))
             except Exception as e:  # propagate dispatch failures to waiters
-                for _, fut in items:
+                for fut, _ in sinks:
                     if not fut.done():
                         fut.set_exception(e)
                 self.n_failed += n
@@ -216,12 +279,15 @@ class InferenceEngine:
             entry = self._inflight.get()
             if entry is None:
                 return
-            out, items = entry
+            out, sinks = entry
             try:
                 out_np = np.asarray(out)
-                for i, (_, fut) in enumerate(items):
-                    fut.set_result(out_np[i])
+                off = 0
+                for fut, n in sinks:
+                    fut.set_result(out_np[off] if n == 1
+                                   else out_np[off:off + n])
+                    off += n
             except Exception as e:
-                for _, fut in items:
+                for fut, _ in sinks:
                     if not fut.done():
                         fut.set_exception(e)

@@ -172,12 +172,21 @@ def _main_device_feed(bench, model, deploy_dev, model_name, w_bits, batch,
     warm_idx = jnp.asarray(np.arange(batch, dtype=np.int32) % 64)
     np.asarray(engine._forward(engine.variables, warm_idx))
 
+    # chunk-future submission (submit_batch): one queue entry AND one
+    # result future per batch_size requests — per-request queue ops and
+    # Future create/set_result/result churn were the engine's limiter past
+    # ~5k req/s on this 2-core host (submit_many at 8k req/s: 0.77
+    # efficiency; see BENCH_NOTES r5). BENCH_SERVE_SUBMIT=many reverts.
+    idx_all = (np.arange(n_total, dtype=np.int32) % 64)
+    sub = (engine.submit_many
+           if os.environ.get("BENCH_SERVE_SUBMIT") == "many"
+           else engine.submit_batch)
     with engine:
-        futs = [engine.submit(i % 64) for i in range(batch)]
+        futs = sub(np.arange(batch, dtype=np.int32) % 64)
         for f in futs:
             f.result(timeout=900)
         t0 = _time.perf_counter()
-        futs = [engine.submit(i % 64) for i in range(n_total)]
+        futs = sub(idx_all)
         for f in futs:
             f.result(timeout=600)
         dt = _time.perf_counter() - t0

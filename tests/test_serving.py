@@ -199,3 +199,48 @@ def test_serving_device_feed_on_mesh():
     direct = np.asarray(model.apply(
         deploy, jnp.take(pool, jnp.asarray(idxs), axis=0), mode="packed"))
     np.testing.assert_allclose(np.stack(results), direct, rtol=1e-4, atol=1e-5)
+
+
+def test_submit_batch_chunk_futures():
+    """submit_batch returns one future per <=batch_size chunk, each
+    resolving to the stacked results — identical values to the
+    per-request path and the direct forward."""
+    model, _, deploy = _packed_testcnn()
+    rng = np.random.default_rng(7)
+    images = np.stack([rng.normal(size=(16, 16, 3)).astype(np.float32)
+                       for _ in range(11)])
+
+    with InferenceEngine(model, deploy, batch_size=4, max_wait_ms=5.0) as eng:
+        futs = eng.submit_batch(images)
+        chunks = [f.result(timeout=60) for f in futs]
+
+    assert [len(c) for c in chunks] == [4, 4, 3]
+    direct = np.asarray(model.apply(deploy, jnp.asarray(images), mode="packed"))
+    np.testing.assert_allclose(np.concatenate(chunks), direct,
+                               rtol=1e-4, atol=1e-5)
+    assert eng.stats()["processed"] == 11
+
+
+def test_submit_batch_interleaves_with_per_request():
+    """Mixed clients: per-request submits landing between submit_batch
+    chunks must not corrupt either's results (the unsplittable batch-sink
+    defers to the next batch when it straddles a boundary)."""
+    model, _, deploy = _packed_testcnn()
+    rng = np.random.default_rng(8)
+    singles = [rng.normal(size=(16, 16, 3)).astype(np.float32) for _ in range(3)]
+    block = np.stack([rng.normal(size=(16, 16, 3)).astype(np.float32)
+                      for _ in range(4)])
+
+    with InferenceEngine(model, deploy, batch_size=4, max_wait_ms=20.0) as eng:
+        fut_singles = [eng.submit(s) for s in singles]
+        fut_block = eng.submit_batch(block)
+        res_singles = [f.result(timeout=60) for f in fut_singles]
+        res_block = [f.result(timeout=60) for f in fut_block]
+
+    d_singles = np.asarray(model.apply(
+        deploy, jnp.asarray(np.stack(singles)), mode="packed"))
+    d_block = np.asarray(model.apply(deploy, jnp.asarray(block), mode="packed"))
+    np.testing.assert_allclose(np.stack(res_singles), d_singles,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(res_block), d_block,
+                               rtol=1e-4, atol=1e-5)
