@@ -329,6 +329,14 @@ def write_record(record: dict, batch: int, headline_batch: int) -> dict:
         commit = subprocess.run(
             ["git", "-C", here, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True).stdout.strip() or None
+        # A record produced from a dirty tree is not reproducible from its
+        # commit field alone — say so in the record.
+        dirty = bool(subprocess.run(
+            ["git", "-C", here, "status", "--porcelain",
+             "--untracked-files=no"],
+            capture_output=True, text=True).stdout.strip())
+        if commit and dirty:
+            commit += "+dirty"
     except Exception:
         commit = None
     out_rec = dict(record, batch=batch, commit=commit,

@@ -71,8 +71,8 @@ class InferenceEngine:
         self.mesh = mesh
         self.input_dtype = np.dtype(input_dtype)
         self.max_wait_s = max_wait_ms / 1e3
-        # Bounded request queue: submit() blocks when full (backpressure).
-        # Entries are CHUNKS ``(imgs[n, ...], sinks)`` where each sink is
+        # Bounded CHUNK queue: submits block when full (backpressure).
+        # Entries are chunks ``(imgs[n, ...], sinks)`` where each sink is
         # ``(future, n_requests)`` — one lock round-trip per chunk, not per
         # request. ``submit`` puts chunks of one; ``submit_many`` stacks up
         # to ``batch_size`` requests per entry with per-request futures;
@@ -80,6 +80,10 @@ class InferenceEngine:
         # future resolving to the stacked results (measured: per-request
         # queue ops and Future churn were the engine's limiter past ~5k
         # req/s on a 2-core GIL-contended host — BENCH_NOTES r5).
+        # NOTE ``max_queue`` therefore bounds CHUNKS: per-request clients
+        # get the old request bound, but batch clients can buffer up to
+        # ``max_queue * batch_size`` requests before blocking — size it
+        # accordingly (stats()["queue_depth"] likewise counts chunks).
         self._queue: "queue.Queue[tuple[np.ndarray, List[tuple]]]" = queue.Queue(
             maxsize=int(max_queue)
         )
@@ -151,17 +155,32 @@ class InferenceEngine:
                          [(fut, 1)]))
         return fut
 
+    def _put_chunks(self, images, sinks_for) -> List[Future]:
+        """Shared chunking for the batch-submission APIs: stack once, put
+        one queue entry per ``batch_size`` slice; ``sinks_for(futs, lo, hi)``
+        builds the chunk's sinks and appends its futures to ``futs``.
+
+        ``images`` MUST carry a leading request axis (a sequence of images,
+        or one stacked ``(n, ...)`` array). A single image cannot be
+        distinguished from a stack of rows here — pass ``image[None]`` (or
+        use :meth:`submit`)."""
+        arr = np.asarray(images, self.input_dtype)
+        futs: List[Future] = []
+        for lo in range(0, len(arr), self.batch_size):
+            hi = min(lo + self.batch_size, len(arr))
+            self._queue.put((arr[lo:hi], sinks_for(futs, lo, hi)))
+        return futs
+
     def submit_many(self, images: Sequence[np.ndarray]) -> List[Future]:
         """Batch submission: one queue entry (and one host stack) per up-to-
         ``batch_size`` requests instead of per request. Still one Future per
-        request. ``images`` may be a sequence of arrays or one stacked array
-        with a leading request axis."""
-        arr = np.asarray(images, self.input_dtype)
-        futs: List[Future] = [Future() for _ in range(len(arr))]
-        for lo in range(0, len(arr), self.batch_size):
-            hi = min(lo + self.batch_size, len(arr))
-            self._queue.put((arr[lo:hi], [(f, 1) for f in futs[lo:hi]]))
-        return futs
+        request (the i-th future resolves to the i-th request's result)."""
+        def sinks(futs, lo, hi):
+            new = [Future() for _ in range(hi - lo)]
+            futs.extend(new)
+            return [(f, 1) for f in new]
+
+        return self._put_chunks(images, sinks)
 
     def submit_batch(self, images) -> List[Future]:
         """Batch submission with batch RESULTS: each returned future covers
@@ -170,14 +189,12 @@ class InferenceEngine:
         per-request Future create/set_result/result() churn entirely — the
         high-throughput client API (a frontend holding many requests calls
         this; per-stream clients use :meth:`submit`)."""
-        arr = np.asarray(images, self.input_dtype)
-        futs: List[Future] = []
-        for lo in range(0, len(arr), self.batch_size):
-            hi = min(lo + self.batch_size, len(arr))
+        def sinks(futs, lo, hi):
             fut: Future = Future()
             futs.append(fut)
-            self._queue.put((arr[lo:hi], [(fut, hi - lo)]))
-        return futs
+            return [(fut, hi - lo)]
+
+        return self._put_chunks(images, sinks)
 
     def stats(self) -> Dict[str, float]:
         return {
@@ -240,21 +257,26 @@ class InferenceEngine:
             pieces, n = self._collect()
             if n == 0:
                 continue
-            imgs = (pieces[0][0] if len(pieces) == 1
-                    else np.concatenate([p[0] for p in pieces]))
             sinks = [s for _, ss in pieces for s in ss]
-            if n < self.batch_size:
-                pad = np.zeros((self.batch_size - n, *imgs.shape[1:]), imgs.dtype)
-                imgs = np.concatenate([imgs, pad])
-            x = jnp.asarray(imgs)
-            if self.mesh is not None:
-                # multi-host aware placement: each host's engine feeds its
-                # slice of the global batch (the per-host feeder pattern);
-                # single-process this is a plain sharded device_put
-                from .input_pipeline import shard_batch_to_mesh
-
-                x = shard_batch_to_mesh(self.mesh, {"img": imgs})["img"]
             try:
+                # Assembly is inside the failure path too: one
+                # shape-mismatched request must fail ITS batch's futures,
+                # not kill the dispatch thread (which would hang every
+                # later submit).
+                imgs = (pieces[0][0] if len(pieces) == 1
+                        else np.concatenate([p[0] for p in pieces]))
+                if n < self.batch_size:
+                    pad = np.zeros((self.batch_size - n, *imgs.shape[1:]),
+                                   imgs.dtype)
+                    imgs = np.concatenate([imgs, pad])
+                x = jnp.asarray(imgs)
+                if self.mesh is not None:
+                    # multi-host aware placement: each host's engine feeds
+                    # its slice of the global batch (the per-host feeder
+                    # pattern); single-process a plain sharded device_put
+                    from .input_pipeline import shard_batch_to_mesh
+
+                    x = shard_batch_to_mesh(self.mesh, {"img": imgs})["img"]
                 # Async dispatch: returns immediately with a device array;
                 # the drain thread materializes it. Next batch assembly
                 # overlaps this batch's device time.

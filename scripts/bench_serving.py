@@ -207,6 +207,9 @@ def _main_device_feed(bench, model, deploy_dev, model_name, w_bits, batch,
         "input": "device-resident pool (int32 indices)",
         "max_in_flight": in_flight,
         "postprocess": os.environ.get("BENCH_SERVE_POST", "none"),
+        "submit_path": ("submit_many"
+                        if os.environ.get("BENCH_SERVE_SUBMIT") == "many"
+                        else "submit_batch"),
     }
     out_rec = bench.write_record(record, batch, headline_batch=default_batch)
     print(json.dumps(out_rec))

@@ -244,3 +244,31 @@ def test_submit_batch_interleaves_with_per_request():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.concatenate(res_block), d_block,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bad_request_fails_its_batch_not_the_engine():
+    """A shape-mismatched request must surface as an exception on ITS
+    batch's futures — and the dispatch thread must survive to serve
+    later, well-formed requests."""
+    import pytest
+
+    model, _, deploy = _packed_testcnn()
+    rng = np.random.default_rng(9)
+    good = rng.normal(size=(16, 16, 3)).astype(np.float32)
+    bad = rng.normal(size=(8, 8, 3)).astype(np.float32)
+
+    with InferenceEngine(model, deploy, batch_size=4, max_wait_ms=5.0) as eng:
+        f_good0 = eng.submit(good)
+        f_bad = eng.submit(bad)  # same window: np.concatenate must fail
+        with pytest.raises(Exception):
+            f_bad.result(timeout=60)
+        with pytest.raises(Exception):
+            f_good0.result(timeout=60)  # batchmate shares the failure
+        # engine must still be alive for the next batch
+        f_after = eng.submit(good)
+        res = f_after.result(timeout=60)
+
+    direct = np.asarray(model.apply(deploy, jnp.asarray(good[None]),
+                                    mode="packed"))[0]
+    np.testing.assert_allclose(res, direct, rtol=1e-4, atol=1e-5)
+    assert eng.stats()["failed"] >= 2
