@@ -330,10 +330,12 @@ def write_record(record: dict, batch: int, headline_batch: int) -> dict:
             ["git", "-C", here, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True).stdout.strip() or None
         # A record produced from a dirty tree is not reproducible from its
-        # commit field alone — say so in the record.
+        # commit field alone — say so in the record. results/ is excluded:
+        # bench records are outputs, not code (a prior run's uncommitted
+        # record must not taint this run's provenance).
         dirty = bool(subprocess.run(
             ["git", "-C", here, "status", "--porcelain",
-             "--untracked-files=no"],
+             "--untracked-files=no", "--", ".", ":!results"],
             capture_output=True, text=True).stdout.strip())
         if commit and dirty:
             commit += "+dirty"
