@@ -54,7 +54,9 @@ _SLOPPY_ENCODE = {v: k for k, v in _CP1252_EXTRA.items()}
 _LIGATURES = {
     "Ĳ": "IJ", "ĳ": "ij",           # Ĳ ĳ
     "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
-    "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "st", "ﬆ": "st",
+    # NB ftfy maps U+FB05 (LONG S T ligature) to "ſt" — long s preserved —
+    # while NFKC would give "st"; match ftfy, it is the reference behavior
+    "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "ſt", "ﬆ": "st",
 }
 _LIGATURE_RE = re.compile("[" + "".join(_LIGATURES) + "]")
 

@@ -40,6 +40,14 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _softmax_group_size(s: int) -> int:
+    """Heads per batched-softmax group: as many as keep the two stacked
+    (G*S, S) f32 score/exp buffers within ~6 MB of VMEM (ViT-B: all 12;
+    ViT-H: 8+8). ONE definition shared by the kernel and the wrapper's
+    VMEM guard so the estimate always describes the kernel it gates."""
+    return max(1, int(6 * 1024 * 1024 // (2 * 4 * s * s)))
+
+
 def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
                      embed: int, scale: float, causal: bool,
                      valid_len: int):
@@ -61,11 +69,14 @@ def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
       exactness now costs nothing; it beats the broken clamp variant.
 
     Exactness: stability is the classic per-row max shift
-    ``exp(sc - relu(m))`` with ``m`` the true masked row max (rows of
+    ``exp(sc - max(m, -80))`` with ``m`` the true masked row max (rows of
     ``sc_all`` are (head, query) pairs — softmax is per-row, so row-axis
-    stacking changes nothing). ``relu(m)`` keeps fully-masked pad rows
-    finite (their max is -1e30; with relu they underflow to zeros and the
-    ``norm`` guard avoids NaN — pad rows are discarded by the caller).
+    stacking changes nothing). The -80 floor keeps fully-masked pad rows
+    finite (their max is -1e30; they underflow to zeros and the ``norm``
+    guard avoids NaN — pad rows are discarded by the caller) while real
+    rows stay exact for any row max >= -80; a row whose EVERY key scores
+    below -80 (softmax weight < 2e-35 pre-shift) would need all |q.k| to
+    be astronomically mis-scaled and degrades to zeros, not NaN.
     Masking is ONE ``min(sc_all, limit)``: +3e38 (no-op) on attendable
     keys, -1e30 on pad/causal-masked entries, (1, S) broadcast in the
     valid-len case and a (H*S, S)-consistent row-pattern (built from
@@ -76,9 +87,7 @@ def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
     s = x.shape[0]
     mm_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype
 
-    # heads per softmax group: as many as keep the two stacked (G*S, S)
-    # f32 buffers within ~6 MB of VMEM (ViT-B: all 12; ViT-H: 8+8)
-    g_max = max(1, int(6 * 1024 * 1024 // (2 * 4 * s * s)))
+    g_max = _softmax_group_size(s)
 
     def group_limit(g):
         if causal:
@@ -114,7 +123,7 @@ def _mha_rows_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int,
             limits[g] = group_limit(g)
         if limits[g] is not None:
             sc_all = jnp.minimum(sc_all, limits[g])
-        m = jnp.maximum(jnp.max(sc_all, axis=-1, keepdims=True), 0.0)
+        m = jnp.maximum(jnp.max(sc_all, axis=-1, keepdims=True), -80.0)
         ex_all = jnp.exp(sc_all - m)
         norm = jnp.maximum(jnp.sum(ex_all, axis=-1, keepdims=True), 1e-37)
 
@@ -237,12 +246,16 @@ def mha_fused_qkv_rows(qkv: jnp.ndarray, num_heads: int, seq_len: int,
     itemsize = jnp.dtype(qkv.dtype).itemsize
     # VMEM budget: input block + f32 head slices + the grouped stacked
     # (G*S, S) scores + exp buffers (the kernel caps the group's buffers
-    # at ~6 MB itself) + f32 out concat. ~12 MB of the ~16 MB/core VMEM,
+    # at ~6 MB itself) + the (G*S, S) f32 causal mask the kernel also
+    # materializes + f32 out concat. ~12 MB of the ~16 MB/core VMEM,
     # else jnp fallback.
-    g_eff = min(num_heads, max(1, int(6 * 1024 * 1024 // (2 * 4 * s * s))))
+    g_eff = min(num_heads, _softmax_group_size(s))
+    mask_bytes = (g_eff * s * s * 4 if causal
+                  else (s * 4 if valid < s else 0))
     vmem_est = (s * three_e * itemsize          # input rows
                 + 3 * s * d * 4                 # qh/kh/vh f32
                 + 2 * g_eff * s * s * 4         # sc_all + ex_all f32
+                + mask_bytes                    # limits[g]
                 + s * e * (4 + itemsize))       # out concat + store
     if d % 8 != 0 or s % 8 != 0 or vmem_est > 12 * 1024 * 1024:
         return _mha_ref_rows(qkv, num_heads, s, causal, out_dtype, valid)

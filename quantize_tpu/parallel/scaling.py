@@ -244,7 +244,7 @@ def run_multiprocess_scaling(
     per_device_batch: int = 2,
     image_size: int = 32,
     iters: int = 2,
-    port: int = 57421,
+    port: Optional[int] = None,
     timeout: float = 420.0,
 ) -> Dict[str, Any]:
     """Run ``measure_scaling`` across a REAL process boundary: spawns
@@ -255,15 +255,24 @@ def run_multiprocess_scaling(
     GSPMD census on the compiled multi-host HLO). Returns process 0's
     result row. This is the DCN-ish rehearsal the pod artifact needs — the
     single-process virtual mesh never crosses an ICI/DCN-like boundary.
+
+    ``port=None`` (default) picks a free ephemeral coordinator port per
+    run, so a crashed/killed previous run cannot poison this one; workers
+    are ALWAYS killed on timeout or error (no orphan holding the port).
     """
     import json
     import os
+    import socket
     import subprocess
     import sys
     import tempfile
 
     dp = dp if dp is not None else n_processes
     tp = tp if tp is not None else devices_per_process * n_processes // dp
+    if port is None:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
     with tempfile.TemporaryDirectory() as td:
         script = os.path.join(td, "mp_scaling_worker.py")
         with open(script, "w") as f:
@@ -285,9 +294,17 @@ def run_multiprocess_scaling(
             for i in range(n_processes)
         ]
         outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out)
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=timeout)
+                outs.append(out)
+        finally:
+            # a hung or failed worker must not outlive the call: an orphan
+            # would hold the coordinator port and leak a JAX CPU process
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         for i, (p, out) in enumerate(zip(procs, outs)):
             if p.returncode != 0:
                 raise RuntimeError(

@@ -24,6 +24,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _materialize_local_rows(out) -> np.ndarray:
+    """Fetch a batch output to host — including on a MULTI-PROCESS mesh.
+
+    Single-process (or any fully-addressable array) this is a plain
+    ``np.asarray``. Multi-process, the engine's output is a GLOBAL array
+    whose rows span hosts and ``np.asarray`` raises ("spans non-addressable
+    devices"); but in the per-host feeder pattern each host's sinks cover
+    exactly the batch rows IT contributed via
+    ``make_array_from_process_local_data``, which live in this process's
+    addressable shards. Reassemble those rows: allocate the local row
+    range and place every addressable shard at its (row-shifted) index —
+    model-axis splits and replicated duplicates land at their own column
+    ranges / overwrite with identical data. Assumes the output stays
+    batch-sharded over ``data`` like the input (true for per-image models
+    under GSPMD); a fully batch-REPLICATED output would reassemble the
+    global batch and mis-slice on hosts > 0."""
+    if getattr(out, "is_fully_addressable", True):
+        return np.asarray(out)
+    shards = out.addressable_shards
+    row_slices = [s.index[0] if s.index else slice(None) for s in shards]
+    lo = min(sl.start or 0 for sl in row_slices)
+    hi = max(sl.stop if sl.stop is not None else out.shape[0]
+             for sl in row_slices)
+    buf = np.empty((hi - lo, *out.shape[1:]), out.dtype)
+    for s, rs in zip(shards, row_slices):
+        idx = (slice((rs.start or 0) - lo,
+                     (rs.stop if rs.stop is not None else out.shape[0]) - lo),
+               *s.index[1:])
+        buf[idx] = np.asarray(s.data)
+    return buf
+
+
 class InferenceEngine:
     """Continuous batching over a jittable ``fn(variables, batch) -> out``."""
 
@@ -269,7 +301,6 @@ class InferenceEngine:
                     pad = np.zeros((self.batch_size - n, *imgs.shape[1:]),
                                    imgs.dtype)
                     imgs = np.concatenate([imgs, pad])
-                x = jnp.asarray(imgs)
                 if self.mesh is not None:
                     # multi-host aware placement: each host's engine feeds
                     # its slice of the global batch (the per-host feeder
@@ -277,6 +308,8 @@ class InferenceEngine:
                     from .input_pipeline import shard_batch_to_mesh
 
                     x = shard_batch_to_mesh(self.mesh, {"img": imgs})["img"]
+                else:
+                    x = jnp.asarray(imgs)
                 # Async dispatch: returns immediately with a device array;
                 # the drain thread materializes it. Next batch assembly
                 # overlaps this batch's device time.
@@ -303,7 +336,7 @@ class InferenceEngine:
                 return
             out, sinks = entry
             try:
-                out_np = np.asarray(out)
+                out_np = _materialize_local_rows(out)
                 off = 0
                 for fut, n in sinks:
                     fut.set_result(out_np[off] if n == 1

@@ -215,3 +215,37 @@ def test_int8_scores_long_sequence_tail(rng):
         np.float32).reshape(B, S, E)[:, :valid]
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 0.05, f"rel err {rel:.4f}"
+
+
+def test_mha_kernel_large_negative_logits_exact(rng):
+    """Rows whose EVERY score is strongly negative (plausible transiently
+    under mis-calibrated quantization scales): true softmax is a normal
+    distribution over the keys, and the kernel's -80-floored row-max shift
+    must reproduce it exactly for row maxima down to -80 — and still
+    produce it (not zeros) well below, where the pre-shift weights
+    underflow f32 but the shifted ones do not (row maxima here ~ -100)."""
+    from quantize_tpu.ops.pallas.attention import mha_fused_qkv_rows
+
+    b, s, h, d = 2, 32, 2, 64
+    e = h * d
+    w = np.ones(d, np.float32)
+    gamma = 3.9  # -gamma^2*d/sqrt(d) ~ -120 mean score, row maxima ~ -100
+    qkv = np.zeros((b, s, 3 * e), np.float32)
+    for hh in range(h):
+        qkv[..., hh * d:(hh + 1) * d] = rng.normal(size=(b, s, d)) + gamma * w
+        qkv[..., e + hh * d:e + (hh + 1) * d] = (
+            rng.normal(size=(b, s, d)) - gamma * w)
+        qkv[..., 2 * e + hh * d:2 * e + (hh + 1) * d] = rng.normal(
+            size=(b, s, d))
+    scores = np.einsum("bqd,bkd->bqk", qkv[..., :d],
+                       qkv[..., e:e + d]) / np.sqrt(d)
+    row_max = scores.max(-1)
+    assert row_max.max() < -87 and row_max.min() > -167, (
+        f"test must exercise the old-kernel underflow regime, "
+        f"got [{row_max.min():.0f}, {row_max.max():.0f}]")
+    out = mha_fused_qkv_rows(jnp.asarray(qkv.reshape(b * s, 3 * e)),
+                             h, s, int8_scores=False)
+    ref = np.asarray(_mha_ref(jnp.asarray(qkv), h, False, jnp.float32))
+    out = np.asarray(out).reshape(b, s, e)
+    assert np.abs(out).max() > 0.01, "kernel must not zero all-negative rows"
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

@@ -117,8 +117,9 @@ def test_multiprocess_scaling_row(tmp_path):
     mesh produces."""
     from quantize_tpu.parallel import run_multiprocess_scaling
 
+    # default port=None picks a free ephemeral coordinator port per run
     r = run_multiprocess_scaling(n_processes=2, devices_per_process=4,
-                                 dp=2, tp=4, port=57431)
+                                 dp=2, tp=4)
     assert r["n_processes"] == 2 and r["n_devices"] == 8
     assert np.isfinite(r["weak_scaling_efficiency"])
     assert r["weak_scaling_efficiency"] > 0

@@ -47,6 +47,8 @@ def test_no_false_positive(text):
 
 def test_ligatures_and_width():
     assert fix_text("ﬁsh ﬂy ﬀ") == "fish fly ff"
+    # ftfy keeps the long s in the U+FB05 expansion ("ſt", not NFKC's "st")
+    assert fix_text("ﬅop ﬆop") == "ſtop stop"
     assert fix_text("ＡＢＣ１２３") == "ABC123"
     # blanket NFKC would rewrite these; ftfy's NFC default does not
     assert fix_text("E=mc²") == "E=mc²"
